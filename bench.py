@@ -1,0 +1,77 @@
+"""Benchmark harness: cell-updates/sec on the channel-obstacle case.
+
+Mirrors the reference's criterion benches (benches/gpu_dispatch_benchmark.rs:
+59-130, Throughput::Elements(num_cells) => cell-updates/sec) on the
+BASELINE.json north-star configuration (channel with circular obstacle).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed
+against ESTIMATED_WGPU_BASELINE, a conservative estimate of the reference's
+throughput derived from its own in-tree evidence: the only quantified perf
+statement (coupled_solver.rs:22-25, ~65 ms/step debug-read overhead dwarfed by
+the solve on ~9k cells) and the per-step structure (20 outer x 50 inner
+iterations with host round-trips each).  Re-measure with
+`cargo bench --bench gpu_dispatch_benchmark` for a hard number.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+ESTIMATED_WGPU_BASELINE = 5.0e6  # cell-updates/sec (see module docstring)
+
+
+def main():
+    min_cell = float(os.environ.get("BENCH_MIN_CELL", "0.004"))
+    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    dt = float(os.environ.get("BENCH_DT", "0.002"))
+
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+    from cfd2_tpu.runtime.state import SolverConfig
+
+    t0 = time.time()
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, min_cell, min_cell, 1.2, (3.0, 1.0))
+    t_mesh = time.time() - t0
+    n = mesh.num_cells
+    print(f"# mesh: {n} cells, {mesh.num_faces} faces ({t_mesh:.1f}s)",
+          file=sys.stderr)
+
+    s = CoupledSolver(mesh)
+    s.set_dt(dt)
+    s.set_viscosity(0.01)
+    s.set_density(1.0)
+    u0 = np.zeros((n, 2))
+    u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
+    s.set_u(u0)
+
+    t0 = time.time()
+    s.run(1)  # compile + warmup
+    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    t0 = time.time()
+    metrics = s.run(steps)
+    elapsed = time.time() - t0
+    assert np.isfinite(s.get_u()).all(), "bench produced non-finite fields"
+
+    steps_per_sec = steps / elapsed
+    cell_updates = n * steps_per_sec
+    print(f"# {steps} steps in {elapsed:.2f}s -> {steps_per_sec:.2f} steps/s, "
+          f"outer_iters={metrics['outer_iters'].tolist()}", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": f"cell-updates/sec, channel-obstacle {n} cells, coupled step",
+        "value": round(cell_updates, 1),
+        "unit": "cell-updates/sec",
+        "vs_baseline": round(cell_updates / ESTIMATED_WGPU_BASELINE, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""Finite-volume kernels: prepare (fluxes, d_p, gradients) and coupled assembly.
+
+TPU-native equivalents of the reference WGSL compute shaders:
+
+* :func:`prepare` — shaders/prepare_coupled.wgsl:63-348 — Rhie–Chow face mass
+  fluxes, the pressure-correction coefficient d_p = vol/a_P, and Green–Gauss
+  gradients of p, u, v.  Fluxes are face-parallel; the cell accumulations are
+  gathers over the padded (N, K) slots (no scatter).
+* :func:`assemble_coupled` — shaders/coupled_assembly_merged.wgsl:70-463 — the
+  fully-coupled 3x3 block system (momentum + continuity with Rhie–Chow
+  pressure Laplacian), the scalar pressure (Schur) matrix, RHS, and diagonal
+  inverses, in one fused pass of elementwise ops over (N, K).
+
+Boundary codes: 1=Inlet (ramped u_bc), 2=Outlet (p=0, backflow guard),
+3=Wall (no-slip).  All physics matches the reference discretization:
+upwind convection, orthogonality-corrected diffusion, deferred-correction
+SOU/QUICK, Euler/BDF2 time schemes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+
+import jax.numpy as jnp
+
+from ..ops.blockell import BlockSystem
+from ..runtime.device_mesh import DeviceMesh
+from ..runtime.state import (
+    SCHEME_QUICK,
+    SCHEME_SECOND_ORDER_UPWIND,
+    SCHEME_UPWIND,
+    TIME_BDF2,
+    SolverConfig,
+    SolverParams,
+    SolverState,
+)
+
+
+def _smoothstep(edge1: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    t = jnp.clip(x / jnp.maximum(edge1, 1e-9), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def _inlet_velocity(params: SolverParams, time: jnp.ndarray):
+    ramp = _smoothstep(params.ramp_time, time)
+    return params.inlet_velocity * ramp
+
+
+def _time_coeff(mesh: DeviceMesh, params: SolverParams, config: SolverConfig):
+    """Diagonal time-derivative coefficient per cell (prepare_coupled.wgsl:82-89)."""
+    base = mesh.c_vol * params.density / params.dt
+    if config.time_scheme == TIME_BDF2:
+        r = params.dt / params.dt_old
+        return base * (1.0 + 2.0 * r) / (1.0 + r)
+    return base
+
+
+def compute_fluxes(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+                   time: jnp.ndarray) -> jnp.ndarray:
+    """Rhie–Chow face mass fluxes, face-parallel (prepare_coupled.wgsl:120-195).
+
+    Flux sign convention: positive = out of the owner cell (normals are
+    canonically owner-outward).
+    """
+    own = mesh.f_owner
+    ngh = mesh.f_neighbor_safe
+
+    u_own = state.u[own]            # (F, 2)
+    u_ngh = state.u[ngh]
+    lam = mesh.f_lambda[:, None]
+    u_face = lam * u_own + (1.0 - lam) * u_ngh
+
+    dp_face = mesh.f_lambda * state.d_p[own] + (1.0 - mesh.f_lambda) * state.d_p[ngh]
+    gp_face = lam * state.grad_p[own] + (1.0 - lam) * state.grad_p[ngh]
+
+    grad_p_n = gp_face[:, 0] * mesh.f_nx + gp_face[:, 1] * mesh.f_ny
+    p_grad_f = (state.p[ngh] - state.p[own]) / mesh.f_dist_cc
+    rc_term = dp_face * mesh.f_area * (grad_p_n - p_grad_f)
+    u_n = u_face[:, 0] * mesh.f_nx + u_face[:, 1] * mesh.f_ny
+    flux_internal = params.density * (u_n * mesh.f_area + rc_term)
+
+    u_bc = _inlet_velocity(params, time)
+    flux_inlet = params.density * u_bc * mesh.f_nx * mesh.f_area
+    un_own = u_own[:, 0] * mesh.f_nx + u_own[:, 1] * mesh.f_ny
+    flux_outlet = jnp.maximum(0.0, params.density * un_own * mesh.f_area)
+
+    flux = jnp.where(mesh.f_internal, flux_internal,
+                     jnp.where(mesh.f_boundary == 1, flux_inlet,
+                               jnp.where(mesh.f_boundary == 2, flux_outlet, 0.0)))
+    return flux
+
+
+def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+            config: SolverConfig) -> SolverState:
+    """Fused pre-pass: fluxes, d_p, grad_p, grad_u, grad_v.
+
+    Uses the *incoming* state's d_p/grad_p in the Rhie–Chow flux (like the
+    reference, which reads them before overwriting).
+    """
+    flux = compute_fluxes(mesh, state, params, state.time)
+
+    mask = mesh.ck_mask
+    is_b = mesh.ck_is_boundary
+    bdry = mesh.ck_boundary
+    other = mesh.ck_neighbor
+
+    # --- d_p: momentum diagonal accumulation (prepare_coupled.wgsl:202-254) ---
+    flux_out = flux[mesh.ck_face] * mesh.ck_sign          # (N, K)
+    diff = params.viscosity * mesh.ck_area / mesh.ck_dist  # plain distance here
+    conv_diag = jnp.maximum(flux_out, 0.0)
+
+    contrib_internal = diff + conv_diag
+    contrib_inlet_wall = diff + conv_diag                   # same accumulation
+    contrib_outlet = conv_diag
+    contrib = jnp.where(is_b > 0,
+                        jnp.where(bdry == 2, contrib_outlet, contrib_inlet_wall),
+                        contrib_internal)
+    diag = _time_coeff(mesh, params, config) + jnp.sum(contrib * mask, axis=1)
+    d_p = jnp.where(jnp.abs(diag) > 1e-20, mesh.c_vol / diag, 0.0)
+
+    # --- Green-Gauss gradients (prepare_coupled.wgsl:256-347) ---
+    lam = mesh.ck_lam
+    p_this = state.p[:, None]
+    p_other = state.p[other]
+    pf_internal = lam * p_this + (1.0 - lam) * p_other
+    pf_bdry = jnp.where(bdry == 2, 0.0, p_this)            # outlet: p = 0
+    p_face = jnp.where(is_b > 0, pf_bdry, pf_internal) * mask
+    inv_vol = 1.0 / mesh.c_vol
+    grad_p = jnp.stack([
+        jnp.sum(p_face * mesh.ck_nx * mesh.ck_area, axis=1) * inv_vol,
+        jnp.sum(p_face * mesh.ck_ny * mesh.ck_area, axis=1) * inv_vol,
+    ], axis=1)
+
+    u_bc = _inlet_velocity(params, state.time)
+    for_comp = []
+    for comp in (0, 1):
+        v_this = state.u[:, comp][:, None]
+        v_other = state.u[other, comp]
+        vf_internal = lam * v_this + (1.0 - lam) * v_other
+        bc_val = jnp.where(bdry == 1, (u_bc if comp == 0 else 0.0) * jnp.ones_like(v_this),
+                           jnp.where(bdry == 3, 0.0, v_this))
+        v_face = jnp.where(is_b > 0, bc_val, vf_internal) * mask
+        for_comp.append(jnp.stack([
+            jnp.sum(v_face * mesh.ck_nx * mesh.ck_area, axis=1) * inv_vol,
+            jnp.sum(v_face * mesh.ck_ny * mesh.ck_area, axis=1) * inv_vol,
+        ], axis=1))
+
+    return replace(state, fluxes=flux, d_p=d_p, grad_p=grad_p,
+                   grad_u=for_comp[0], grad_v=for_comp[1])
+
+
+def _deferred_correction(mesh, state, flux, config):
+    """Higher-order convection via deferred correction
+    (coupled_assembly_merged.wgsl:229-293).  Returns (corr_u, corr_v) summed
+    over internal slots, to be subtracted from the RHS."""
+    other = mesh.ck_neighbor
+    upwind_own = flux > 0.0
+
+    u_this = state.u[:, 0][:, None]
+    v_this = state.u[:, 1][:, None]
+    u_other = state.u[other, 0]
+    v_other = state.u[other, 1]
+
+    phi_up_u = jnp.where(upwind_own, u_this, u_other)
+    phi_up_v = jnp.where(upwind_own, v_this, v_other)
+
+    gu_this = state.grad_u[:, None, :]        # (N, 1, 2)
+    gv_this = state.grad_v[:, None, :]
+    gu_other = state.grad_u[other]            # (N, K, 2)
+    gv_other = state.grad_v[other]
+
+    if config.scheme == SCHEME_SECOND_ORDER_UPWIND:
+        # r vector from the upwind cell's center to the face center.
+        r_own = jnp.stack([mesh.ck_rx, mesh.ck_ry], axis=-1)          # (N,K,2)
+        r_other = r_own - jnp.stack([mesh.ck_dcdx, mesh.ck_dcdy], axis=-1)
+        ho_own_u = u_this + jnp.sum(gu_this * r_own, axis=-1)
+        ho_own_v = v_this + jnp.sum(gv_this * r_own, axis=-1)
+        ho_oth_u = u_other + jnp.sum(gu_other * r_other, axis=-1)
+        ho_oth_v = v_other + jnp.sum(gv_other * r_other, axis=-1)
+    else:  # QUICK
+        dcd = jnp.stack([mesh.ck_dcdx, mesh.ck_dcdy], axis=-1)
+        gt_own_u = jnp.sum(gu_this * dcd, axis=-1)
+        gt_own_v = jnp.sum(gv_this * dcd, axis=-1)
+        gt_oth_u = jnp.sum(gu_other * (-dcd), axis=-1)
+        gt_oth_v = jnp.sum(gv_other * (-dcd), axis=-1)
+        ho_own_u = 0.625 * u_this + 0.375 * u_other + 0.125 * gt_own_u
+        ho_own_v = 0.625 * v_this + 0.375 * v_other + 0.125 * gt_own_v
+        ho_oth_u = 0.625 * u_other + 0.375 * u_this + 0.125 * gt_oth_u
+        ho_oth_v = 0.625 * v_other + 0.375 * v_this + 0.125 * gt_oth_v
+
+    phi_ho_u = jnp.where(upwind_own, ho_own_u, ho_oth_u)
+    phi_ho_v = jnp.where(upwind_own, ho_own_v, ho_oth_v)
+
+    internal = mesh.ck_mask * (1.0 - mesh.ck_is_boundary)
+    corr_u = jnp.sum(flux * (phi_ho_u - phi_up_u) * internal, axis=1)
+    corr_v = jnp.sum(flux * (phi_ho_v - phi_up_v) * internal, axis=1)
+    return corr_u, corr_v
+
+
+def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+                     config: SolverConfig) -> BlockSystem:
+    """Assemble the coupled block system + scalar pressure matrix."""
+    mask = mesh.ck_mask
+    is_b = mesh.ck_is_boundary
+    internal = mask * (1.0 - is_b)
+    bdry = mesh.ck_boundary
+    other = mesh.ck_neighbor
+
+    flux = state.fluxes[mesh.ck_face] * mesh.ck_sign       # (N, K)
+    dist = mesh.ck_dist_proj
+    diff = params.viscosity * mesh.ck_area / dist
+    conv_diag = jnp.maximum(flux, 0.0)
+    conv_off = jnp.minimum(flux, 0.0)
+
+    area_nx = mesh.ck_area * mesh.ck_nx
+    area_ny = mesh.ck_area * mesh.ck_ny
+    lam = mesh.ck_lam
+
+    # ---- time derivative (coupled_assembly_merged.wgsl:108-132) ----
+    vol_rho_dt = mesh.c_vol * params.density / params.dt
+    if config.time_scheme == TIME_BDF2:
+        r = params.dt / params.dt_old
+        coeff_time = vol_rho_dt * (1.0 + 2.0 * r) / (1.0 + r)
+        factor_n = 1.0 + r
+        factor_nm1 = (r * r) / (1.0 + r)
+        rhs_time = vol_rho_dt[:, None] * (
+            factor_n * state.u_old - factor_nm1 * state.u_old_old)
+    else:
+        coeff_time = vol_rho_dt
+        rhs_time = vol_rho_dt[:, None] * state.u_old
+
+    # ---- internal-face contributions ----
+    off_mom = (-diff + conv_off) * internal                # A_uu = A_vv off-diag
+    diag_mom_c = (diff + conv_diag) * internal             # accumulate to diag
+
+    off_up = (1.0 - lam) * area_nx * internal
+    off_vp = (1.0 - lam) * area_ny * internal
+    diag_up_c = lam * area_nx * internal
+    diag_vp_c = lam * area_ny * internal
+
+    off_pu = (1.0 - lam) * area_nx * internal
+    off_pv = (1.0 - lam) * area_ny * internal
+    diag_pu_c = lam * area_nx * internal
+    diag_pv_c = lam * area_ny * internal
+
+    dp_this = state.d_p[:, None]
+    dp_other = state.d_p[other]
+    dp_f = lam * dp_this + (1.0 - lam) * dp_other
+    lapl = dp_f * mesh.ck_area / dist
+    off_pp = -lapl * internal
+    diag_pp_c = lapl * internal
+
+    scalar_coeff = params.density * lapl
+    P_off = -scalar_coeff * internal
+    scalar_diag_c = scalar_coeff * internal
+
+    # ---- boundary contributions (coupled_assembly_merged.wgsl:352-419) ----
+    u_bc = _inlet_velocity(params, state.time)
+    is_inlet = (is_b > 0) & (bdry == 1)
+    is_wall = (is_b > 0) & (bdry == 3)
+    is_outlet = (is_b > 0) & (bdry == 2)
+    fpos = flux > 0.0
+
+    b_diag_mom = jnp.where(is_inlet | is_wall, diff + jnp.where(fpos, flux, 0.0),
+                           jnp.where(is_outlet, jnp.where(fpos, flux, 0.0), 0.0))
+    b_rhs_u = jnp.where(is_inlet, diff * u_bc
+                        - jnp.where(fpos, 0.0, flux * u_bc), 0.0)
+    # v inlet BC value is 0, so no v RHS contribution.
+    b_diag_up = jnp.where(is_inlet | is_wall, area_nx, 0.0)
+    b_diag_vp = jnp.where(is_inlet | is_wall, area_ny, 0.0)
+    # Continuity at inlet: rhs_p -= (u_bc . n) * area (volumetric, :381).
+    b_rhs_p = jnp.where(is_inlet, -(u_bc * area_nx), 0.0)
+    b_diag_pu = jnp.where(is_outlet, area_nx, 0.0)
+    b_diag_pv = jnp.where(is_outlet, area_ny, 0.0)
+    lapl_out = dp_this * mesh.ck_area / dist
+    b_diag_pp = jnp.where(is_outlet, lapl_out, 0.0)
+    b_scalar_diag = jnp.where(is_outlet, params.density * lapl_out, 0.0)
+
+    # ---- reductions over slots ----
+    diag_u = coeff_time + jnp.sum(diag_mom_c + b_diag_mom, axis=1)
+    diag_v = diag_u  # identical accumulation for u and v
+    diag_up = jnp.sum(diag_up_c + b_diag_up, axis=1)
+    diag_vp = jnp.sum(diag_vp_c + b_diag_vp, axis=1)
+    diag_pu = jnp.sum(diag_pu_c + b_diag_pu, axis=1)
+    diag_pv = jnp.sum(diag_pv_c + b_diag_pv, axis=1)
+    diag_pp = jnp.sum(diag_pp_c + b_diag_pp, axis=1)
+    P_diag = jnp.sum(scalar_diag_c + b_scalar_diag, axis=1)
+
+    rhs_u = rhs_time[:, 0] + jnp.sum(b_rhs_u, axis=1)
+    rhs_v = rhs_time[:, 1]
+    rhs_p = jnp.sum(b_rhs_p, axis=1)
+
+    if config.scheme != SCHEME_UPWIND:
+        corr_u, corr_v = _deferred_correction(mesh, state, flux, config)
+        rhs_u = rhs_u - corr_u
+        rhs_v = rhs_v - corr_v
+
+    # ---- pack blocks ----
+    N, K = flux.shape
+    zero_nk = jnp.zeros_like(flux)
+    A_off = jnp.stack([
+        jnp.stack([off_mom, zero_nk, off_up], axis=-1),
+        jnp.stack([zero_nk, off_mom, off_vp], axis=-1),
+        jnp.stack([off_pu, off_pv, off_pp], axis=-1),
+    ], axis=-2)                                            # (N, K, 3, 3)
+
+    zero_n = jnp.zeros_like(diag_u)
+    A_diag = jnp.stack([
+        jnp.stack([diag_u, zero_n, diag_up], axis=-1),
+        jnp.stack([zero_n, diag_v, diag_vp], axis=-1),
+        jnp.stack([diag_pu, diag_pv, diag_pp], axis=-1),
+    ], axis=-2)                                            # (N, 3, 3)
+
+    rhs = jnp.stack([rhs_u, rhs_v, rhs_p], axis=-1)
+
+    def safe_inv(x):
+        return jnp.where(jnp.abs(x) > 1e-14, 1.0 / x, 0.0)
+
+    return BlockSystem(
+        A_diag=A_diag, A_off=A_off, rhs=rhs,
+        P_diag=P_diag, P_off=P_off,
+        diag_u_inv=safe_inv(diag_u), diag_v_inv=safe_inv(diag_v),
+        diag_p_inv=safe_inv(P_diag),
+    )

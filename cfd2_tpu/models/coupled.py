@@ -1,0 +1,297 @@
+"""Coupled (u,v,p) timestep driver.
+
+TPU-native re-design of the reference outer loop
+(src/solver/gpu/coupled_solver.rs:33-580):
+
+* one jitted :func:`step` = prepare -> [assemble -> FGMRES -> relax update]
+  outer-corrector loop as a ``lax.while_loop`` with on-device convergence and
+  stagnation tests (the reference used async GPU->CPU scalar readbacks);
+* the steady-state/degeneracy classifier (``check_evolution``,
+  coupled_solver.rs:501-580) runs on-device from state carried across steps —
+  no per-step field readback;
+* :class:`CoupledSolver` is the host-side façade reproducing the reference's
+  headless API contract (GpuSolver::new -> set_* -> step -> get_u/get_p,
+  SURVEY.md §3.5).
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..ops.blockell import block_spmv
+from ..ops.fgmres import fgmres_solve
+from ..ops.schur import schur_preconditioner
+from ..runtime.device_mesh import DeviceMesh, encode_mesh
+from ..runtime.state import (
+    PRECOND_AMG,
+    SCHEME_UPWIND,
+    SolverConfig,
+    SolverParams,
+    SolverState,
+    initial_state,
+)
+from .assembly import assemble_coupled, prepare
+
+
+def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None):
+    """One coupled linear solve: FGMRES + Schur preconditioner."""
+    matvec = lambda x: block_spmv(sys, mesh, x)
+    precond = lambda r: schur_preconditioner(
+        sys, mesh, r, config.precond_omega, n_sweeps,
+        pressure_solve=pressure_solve)
+    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+    return fgmres_solve(
+        matvec, precond, sys.rhs, x0,
+        restart=config.fgmres_restart,
+        max_restarts=config.fgmres_max_restarts,
+        tol=config.fgmres_tol, abstol=config.fgmres_abstol,
+        stagnation_tol=config.fgmres_stagnation_tol,
+        stagnation_limit=config.fgmres_stagnation_limit)
+
+
+def check_evolution(state: SolverState, config: SolverConfig) -> SolverState:
+    """On-device steady-state / degeneracy classifier
+    (reference coupled_solver.rs:501-580, there a full GPU->CPU readback)."""
+    u = state.u
+    mean = jnp.mean(u, axis=0)
+    var = jnp.mean(u * u, axis=0) - mean * mean
+    var = jnp.maximum(var, 0.0)
+
+    rmse = jnp.sqrt(jnp.mean(jnp.sum((u - state.prev_u) ** 2, axis=1)))
+
+    evolving = rmse >= config.evolution_threshold
+    uniform = (var[0] < config.variance_threshold) & (var[1] < config.variance_threshold)
+
+    degen = jnp.where(~evolving & uniform, state.degenerate_count + 1, 0)
+    steady = jnp.where(~evolving & ~uniform, state.steady_count + 1, 0)
+    stop = state.should_stop | (degen > config.stop_count) | (steady > config.stop_count)
+
+    return replace(state, prev_u=u, degenerate_count=degen,
+                   steady_count=steady, should_stop=stop)
+
+
+@partial(jax.jit, static_argnames=("config", "pressure_solve_factory"))
+def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+         config: SolverConfig, pressure_solve_factory=None) -> SolverState:
+    """Advance one timestep (reference GpuSolver::step -> step_coupled)."""
+    n_sweeps = config.pressure_sweeps(mesh.num_cells)
+
+    # History rotation (coupled_solver.rs:43-71).
+    state = replace(state, u_old_old=state.u_old, u_old=state.u)
+
+    # Initial prepare pass (coupled_solver.rs:74-107).
+    state = prepare(mesh, state, params, config)
+
+    max_iters = max(config.n_outer_correctors, 10)
+    big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+
+    def cond(carry):
+        state, prev_du, prev_dp, it, done, li, lr = carry
+        return (it < max_iters) & ~done
+
+    def body(carry):
+        state, prev_du, prev_dp, it, done, li, lr = carry
+
+        # Re-prepare on later iterations / higher-order schemes
+        # (coupled_solver.rs:166-189).
+        if config.scheme != SCHEME_UPWIND:
+            state = prepare(mesh, state, params, config)
+        else:
+            state = lax.cond(it > 0,
+                             lambda s: prepare(mesh, s, params, config),
+                             lambda s: s, state)
+
+        sys = assemble_coupled(mesh, state, params, config)
+        pressure_solve = (pressure_solve_factory(sys)
+                          if pressure_solve_factory is not None else None)
+        result = _solve_linear(mesh, sys, state, config, n_sweeps,
+                               pressure_solve)
+
+        # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
+        u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
+        p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
+        diff_u = jnp.max(jnp.abs(u_new - state.u))
+        diff_p = jnp.max(jnp.abs(p_new - state.p))
+        state = replace(state, u=u_new, p=p_new,
+                        outer_residual_u=diff_u, outer_residual_p=diff_p,
+                        outer_iters=(it + 1).astype(jnp.int32))
+
+        # Convergence + stagnation (coupled_solver.rs:396-479).
+        converged = (diff_u < config.outer_tol_u) & (diff_p < config.outer_tol_p)
+        rel_u = jnp.abs((diff_u - prev_du) / jnp.maximum(jnp.abs(prev_du), 1e-14))
+        rel_p = jnp.abs((diff_p - prev_dp) / jnp.maximum(jnp.abs(prev_dp), 1e-14))
+        stagnated = (rel_u < config.outer_stagnation_factor) & \
+                    (rel_p < config.outer_stagnation_factor) & (it > 2)
+        done = (converged & (it > 0)) | stagnated
+
+        return (state, diff_u, diff_p, it + 1, done,
+                result.iterations, result.residual)
+
+    init = (state, big, big, jnp.int32(0), jnp.asarray(False),
+            jnp.int32(0), jnp.asarray(0.0, jnp.float32))
+    state, _, _, it, _, li, lr = lax.while_loop(cond, body, init)
+    state = replace(state, time=state.time + params.dt,
+                    linear_iters=li, linear_residual=lr)
+
+    return check_evolution(state, config)
+
+
+@partial(jax.jit, static_argnames=("config", "num_steps"))
+def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+               config: SolverConfig, num_steps: int):
+    """Run N steps under one lax.scan — the zero-host-round-trip time loop.
+
+    Returns (final_state, per-step metrics dict).
+    """
+    def body(carry, _):
+        state, params = carry
+        state = step(mesh, state, params, config)
+        metrics = {
+            "time": state.time,
+            "outer_iters": state.outer_iters,
+            "linear_iters": state.linear_iters,
+            "linear_residual": state.linear_residual,
+            "outer_residual_u": state.outer_residual_u,
+            "max_vel": jnp.max(jnp.linalg.norm(state.u, axis=1)),
+            "should_stop": state.should_stop,
+        }
+        return (state, params), metrics
+
+    (state, params), metrics = lax.scan(body, (state, params), None,
+                                        length=num_steps)
+    return state, metrics
+
+
+@partial(jax.jit, static_argnames=("config", "num_steps", "target_cfl"))
+def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
+                        params: SolverParams, config: SolverConfig,
+                        num_steps: int, target_cfl: float = 0.5,
+                        min_cell_size: float = 0.05):
+    """N adaptive-dt steps under lax.scan: the on-device equivalent of the
+    reference app's host-side CFL controller (ui/app.rs:878-909)."""
+    def body(carry, _):
+        state, params = carry
+        max_vel = jnp.max(jnp.linalg.norm(state.u, axis=1))
+        new_dt = jnp.clip(target_cfl * min_cell_size / jnp.maximum(max_vel, 1e-6),
+                          1e-5, 0.1)
+        new_dt = jnp.minimum(new_dt, params.dt * 1.2)   # growth limit
+        new_dt = jnp.where(max_vel > 1e-6, new_dt, params.dt)
+        params = replace(params, dt_old=params.dt, dt=new_dt)
+        state = step(mesh, state, params, config)
+        metrics = {"time": state.time, "dt": params.dt, "max_vel": max_vel,
+                   "outer_iters": state.outer_iters,
+                   "should_stop": state.should_stop}
+        return (state, params), metrics
+
+    (state, params), metrics = lax.scan(body, (state, params), None,
+                                        length=num_steps)
+    return state, params, metrics
+
+
+class CoupledSolver:
+    """Host-side façade with the reference's headless API contract.
+
+    Reference usage (SURVEY.md §3.5):
+        GpuSolver::new(&mesh, None, None) -> set_* -> set_u/set_p
+        -> initialize_history -> loop { step(); get_u()/get_p() }
+    """
+
+    def __init__(self, mesh, config: SolverConfig | None = None,
+                 params: SolverParams | None = None):
+        self.host_mesh = mesh
+        self.mesh = encode_mesh(mesh)
+        self.config = config or SolverConfig()
+        self.params = params or SolverParams.default()
+        self.state = initial_state(self.mesh.num_cells, self.mesh.num_faces)
+        self._amg = None
+
+    # --- setters (reference solver.rs:36-95) ---
+    def set_dt(self, dt):
+        self.params = replace(self.params, dt_old=self.params.dt,
+                              dt=jnp.asarray(dt, jnp.float32))
+
+    def set_viscosity(self, v):
+        self.params = replace(self.params, viscosity=jnp.asarray(v, jnp.float32))
+
+    def set_density(self, d):
+        self.params = replace(self.params, density=jnp.asarray(d, jnp.float32))
+
+    def set_alpha_u(self, a):
+        self.params = replace(self.params, alpha_u=jnp.asarray(a, jnp.float32))
+
+    def set_alpha_p(self, a):
+        self.params = replace(self.params, alpha_p=jnp.asarray(a, jnp.float32))
+
+    def set_inlet_velocity(self, v):
+        self.params = replace(self.params, inlet_velocity=jnp.asarray(v, jnp.float32))
+
+    def set_ramp_time(self, t):
+        self.params = replace(self.params, ramp_time=jnp.asarray(t, jnp.float32))
+
+    def set_scheme(self, scheme: int):
+        self.config = replace(self.config, scheme=int(scheme))
+
+    def set_time_scheme(self, ts: int):
+        self.config = replace(self.config, time_scheme=int(ts))
+
+    def set_precond_type(self, pt: int):
+        self.config = replace(self.config, precond_type=int(pt))
+
+    # --- field IO (solver.rs:97-128, 241-294) ---
+    def set_u(self, u):
+        u = jnp.asarray(np.asarray(u, dtype=np.float32).reshape(-1, 2))
+        self.state = replace(self.state, u=u, u_old=u, u_old_old=u, prev_u=u)
+
+    def set_p(self, p):
+        self.state = replace(self.state, p=jnp.asarray(p, jnp.float32))
+
+    def initialize_history(self):
+        self.state = replace(self.state, u_old=self.state.u,
+                             u_old_old=self.state.u, prev_u=self.state.u)
+
+    def get_u(self) -> np.ndarray:
+        return np.asarray(self.state.u)
+
+    def get_p(self) -> np.ndarray:
+        return np.asarray(self.state.p)
+
+    def get_d_p(self) -> np.ndarray:
+        return np.asarray(self.state.d_p)
+
+    # --- stepping ---
+    def _pressure_solve_factory(self):
+        if self.config.precond_type == PRECOND_AMG:
+            from ..ops.amg import amg_pressure_solve_factory
+            if self._amg is None:
+                self._amg = amg_pressure_solve_factory(self)
+            return self._amg
+        return None
+
+    def step(self):
+        self.state = step(self.mesh, self.state, self.params, self.config,
+                          self._pressure_solve_factory())
+
+    def run(self, num_steps: int):
+        """Run N steps in one scan; returns per-step metrics (host arrays)."""
+        self.state, metrics = multi_step(self.mesh, self.state, self.params,
+                                         self.config, num_steps)
+        return jax.tree.map(np.asarray, metrics)
+
+    # --- status (reference structs.rs should_stop / counters) ---
+    @property
+    def should_stop(self) -> bool:
+        return bool(self.state.should_stop)
+
+    @property
+    def degenerate_count(self) -> int:
+        return int(self.state.degenerate_count)
+
+    @property
+    def steady_state_count(self) -> int:
+        return int(self.state.steady_count)

@@ -1,0 +1,188 @@
+"""Restarted FGMRES with right (flexible) preconditioning, fully on-device.
+
+TPU-native redesign of the reference GPU FGMRES driver
+(src/solver/gpu/coupled_solver_fgmres.rs:1728-2449).  The reference burns most
+of its time on per-iteration parameter uniform rewrites and async scalar
+readbacks for convergence; here the entire solve — classical Gram–Schmidt,
+Hessenberg/Givens updates, convergence tests, restarts, stagnation detection —
+runs inside nested ``lax.while_loop``s with zero host round-trips:
+
+* the Krylov basis V (m+1, N, 3) and preconditioned basis Z (m, N, 3) are
+  dense arrays; CGS is one einsum against the whole basis (MXU) with an
+  index mask, replacing the 3-kernel dot/reduce/update pass
+  (coupled_solver_fgmres.rs:2036-2084);
+* Givens/Hessenberg logic operates on (m+1,) vectors on-device, replacing the
+  reference's workgroup_size(1) shader (gmres_logic.wgsl);
+* the restart triangular solve is a masked dense solve.
+
+Numerics match the reference: restart m=50, <=20 restarts, rtol 1e-5,
+atol 1e-7, single CGS pass, stagnation exit after 3 restarts with <1e-3
+relative improvement (coupled_solver_fgmres.rs:1737-1740, 2403-2419).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class FgmresResult:
+    x: jnp.ndarray             # (N, 3) solution
+    iterations: jnp.ndarray    # int32 total inner iterations
+    residual: jnp.ndarray      # f32 final (true) residual norm
+    converged: jnp.ndarray     # bool
+
+
+def _norm(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.sum(v * v))
+
+
+def fgmres_solve(
+    matvec: Callable[[jnp.ndarray], jnp.ndarray],
+    precond: Callable[[jnp.ndarray], jnp.ndarray],
+    b: jnp.ndarray,
+    x0: jnp.ndarray,
+    restart: int = 50,
+    max_restarts: int = 20,
+    tol: float = 1e-5,
+    abstol: float = 1e-7,
+    stagnation_tol: float = 1e-3,
+    stagnation_limit: int = 3,
+) -> FgmresResult:
+    """Solve A x = b; vectors have shape (N, 3) (or any fixed shape)."""
+    m = restart
+    shape = b.shape
+    dtype = b.dtype
+
+    rhs_norm = _norm(b)
+    target = jnp.maximum(tol * rhs_norm, abstol)
+
+    r0 = b - matvec(x0)
+    beta0 = _norm(r0)
+
+    V0 = jnp.zeros((m + 1,) + shape, dtype)
+    Z0 = jnp.zeros((m,) + shape, dtype)
+    H0 = jnp.zeros((m + 1, m), dtype)
+
+    def inner_cycle(x, V, Z, H, beta):
+        """One Arnoldi cycle of up to m iterations; returns updated x."""
+        cs = jnp.zeros((m,), dtype)
+        sn = jnp.zeros((m,), dtype)
+        g = jnp.zeros((m + 1,), dtype).at[0].set(beta)
+        idx = jnp.arange(m + 1)
+
+        def cond(carry):
+            V, Z, H, cs, sn, g, j, conv = carry
+            return (j < m) & ~conv
+
+        def body(carry):
+            V, Z, H, cs, sn, g, j, conv = carry
+            v_j = V[j]
+            z = precond(v_j)
+            w = matvec(z)
+            Z = lax.dynamic_update_index_in_dim(Z, z, j, 0)
+
+            # Classical Gram-Schmidt against the whole basis, masked to i<=j
+            # (stale rows from earlier restarts are masked out).
+            dots = jnp.einsum("i...,...->i", V, w,
+                              preferred_element_type=jnp.float32)
+            dots = jnp.where(idx <= j, dots, 0.0)
+            w = w - jnp.einsum("i,i...->...", dots, V,
+                               preferred_element_type=jnp.float32)
+
+            hnorm = _norm(w)
+            v_next = jnp.where(hnorm > 0.0, 1.0 / jnp.maximum(hnorm, 1e-30), 0.0) * w
+            V = lax.dynamic_update_index_in_dim(V, v_next, j + 1, 0)
+
+            # Hessenberg column with subdiagonal entry.
+            h = dots.at[j + 1].set(hnorm)
+
+            # Apply previous Givens rotations 0..j-1.
+            def rot(i, h):
+                hi = h[i]
+                hi1 = h[i + 1]
+                new_i = cs[i] * hi + sn[i] * hi1
+                new_i1 = -sn[i] * hi + cs[i] * hi1
+                use = i < j
+                h = h.at[i].set(jnp.where(use, new_i, hi))
+                h = h.at[i + 1].set(jnp.where(use, new_i1, hi1))
+                return h
+
+            h = lax.fori_loop(0, m, rot, h)
+
+            # New rotation annihilating h[j+1].
+            a = h[j]
+            bb = h[j + 1]
+            r = jnp.sqrt(a * a + bb * bb)
+            nonzero = r > 1e-30
+            c = jnp.where(nonzero, a / jnp.maximum(r, 1e-30), 1.0)
+            s = jnp.where(nonzero, bb / jnp.maximum(r, 1e-30), 0.0)
+            cs = cs.at[j].set(c)
+            sn = sn.at[j].set(s)
+            h = h.at[j].set(c * a + s * bb)
+            h = h.at[j + 1].set(0.0)
+            H = H.at[:, j].set(h)
+
+            gj = g[j]
+            g = g.at[j].set(c * gj)
+            g = g.at[j + 1].set(-s * gj)
+
+            resid = jnp.abs(g[j + 1])
+            conv = resid < target
+            return V, Z, H, cs, sn, g, j + 1, conv
+
+        V, Z, H, cs, sn, g, j, conv = lax.while_loop(
+            cond, body, (V, Z, H, cs, sn, g, jnp.int32(0), jnp.asarray(False)))
+
+        # Masked triangular solve for y (rows/cols >= j are padded to
+        # identity so stale entries are inert).
+        km = jnp.arange(m)
+        Heff = H[:m, :m] + jnp.diag(jnp.where(km >= j, 1.0, 0.0).astype(dtype))
+        geff = jnp.where(km < j, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(Heff, geff, lower=False)
+        x = x + jnp.einsum("i,i...->...", y, Z,
+                           preferred_element_type=jnp.float32)
+        return x, V, Z, H, j, conv
+
+    def outer_cond(carry):
+        (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
+        return (k < max_restarts) & ~conv & (beta > 0.0)
+
+    def outer_body(carry):
+        (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
+        # Seed V[0] = r / beta.
+        r = b - matvec(x)
+        rn = _norm(r)
+        v0 = jnp.where(rn > 0.0, 1.0 / jnp.maximum(rn, 1e-30), 0.0) * r
+        V = V.at[0].set(v0)
+
+        x, V, Z, H, j, cyc_conv = inner_cycle(x, V, Z, H, rn)
+        total = total + j
+
+        # True residual after the cycle (coupled_solver_fgmres.rs:2354-2373).
+        r_new = b - matvec(x)
+        res_new = _norm(r_new)
+        conv_new = res_new < target
+
+        # Stagnation detection across restarts (:2403-2419).
+        improvement = (prev_res - res_new) / jnp.maximum(prev_res, 1e-30)
+        stagnated = improvement < stagnation_tol
+        stag_new = jnp.where(stagnated, stag + 1, 0)
+        conv_new = conv_new | (stag_new >= stagnation_limit)
+
+        return (x, V, Z, H, res_new, k + 1, total, conv_new,
+                stag_new, res_new, res_new)
+
+    init = (x0, V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
+            beta0 < target, jnp.int32(0),
+            jnp.asarray(jnp.finfo(dtype).max, dtype), beta0)
+    (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = \
+        lax.while_loop(outer_cond, outer_body, init)
+
+    return FgmresResult(x=x, iterations=total, residual=res, converged=conv)

@@ -1,0 +1,148 @@
+"""Solver configuration and state pytrees.
+
+The reference splits configuration between a ``GpuConstants`` uniform rewritten
+from setters (src/solver/gpu/structs.rs:86-101) and hard-coded tuning
+constants.  Here the same split is explicit and jit-friendly:
+
+* :class:`SolverConfig` — **static** hashable dataclass (scheme ids, iteration
+  caps, tolerances).  Changing it retraces; it parameterizes compilation.
+* :class:`SolverParams` — **dynamic** pytree of f32 scalars (dt, viscosity,
+  density, relaxation factors, inlet ramp).  Changing it never retraces.
+* :class:`SolverState` — the per-step field state carried through
+  ``lax.scan`` / donated between steps.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Scheme ids (reference src/solver/scheme.rs:1-17)
+SCHEME_UPWIND = 0
+SCHEME_SECOND_ORDER_UPWIND = 1
+SCHEME_QUICK = 2
+
+# Time scheme ids
+TIME_EULER = 0
+TIME_BDF2 = 1
+
+# Preconditioner ids (reference structs.rs precond_type)
+PRECOND_JACOBI = 0   # Chebyshev/Jacobi pressure relaxation
+PRECOND_AMG = 1      # AMG V-cycle
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Static solver configuration — hashable, passed as a static jit arg."""
+    scheme: int = SCHEME_UPWIND
+    time_scheme: int = TIME_EULER
+    precond_type: int = PRECOND_JACOBI
+
+    # Outer (non-linear) loop: reference coupled_solver.rs:110-117
+    n_outer_correctors: int = 20
+    outer_tol_u: float = 1e-5
+    outer_tol_p: float = 1e-4
+    outer_stagnation_factor: float = 1e-2
+
+    # FGMRES: reference coupled_solver_fgmres.rs:1737-1740
+    fgmres_restart: int = 50
+    fgmres_max_restarts: int = 20
+    fgmres_tol: float = 1e-5
+    fgmres_abstol: float = 1e-7
+    fgmres_stagnation_tol: float = 1e-3
+    fgmres_stagnation_limit: int = 3
+
+    # Schur pressure relaxation: coupled_solver_fgmres.rs:1812-1817
+    precond_omega: float = 1.2
+    pressure_iters: int = 0   # 0 -> auto: min(20 + sqrt(N)/2, 200)
+
+    # Steady-state / degeneracy detection: coupled_solver.rs:501-580
+    evolution_threshold: float = 1e-6
+    variance_threshold: float = 1e-10
+    stop_count: int = 10
+
+    def pressure_sweeps(self, num_cells: int) -> int:
+        if self.pressure_iters > 0:
+            return self.pressure_iters
+        return int(min(20 + np.sqrt(num_cells) / 2.0, 200.0))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SolverParams:
+    """Dynamic physics parameters (f32 scalars; changing them never retraces)."""
+    dt: jnp.ndarray
+    dt_old: jnp.ndarray
+    viscosity: jnp.ndarray
+    density: jnp.ndarray
+    alpha_u: jnp.ndarray
+    alpha_p: jnp.ndarray
+    inlet_velocity: jnp.ndarray
+    ramp_time: jnp.ndarray
+
+    @staticmethod
+    def default(dt=0.0001, viscosity=0.01, density=1.0, alpha_u=0.7,
+                alpha_p=1.0, inlet_velocity=1.0, ramp_time=0.1):
+        """Defaults match the reference GpuConstants (init/fields.rs:101-116)."""
+        f = lambda v: jnp.asarray(v, dtype=jnp.float32)
+        return SolverParams(
+            dt=f(dt), dt_old=f(dt), viscosity=f(viscosity), density=f(density),
+            alpha_u=f(alpha_u), alpha_p=f(alpha_p),
+            inlet_velocity=f(inlet_velocity), ramp_time=f(ramp_time))
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class SolverState:
+    """Everything carried across timesteps (the reference's 3 FluidState
+    buffers + fluxes + evolution-detector state, init/fields.rs:8-190)."""
+    u: jnp.ndarray          # (N, 2)
+    p: jnp.ndarray          # (N,)
+    d_p: jnp.ndarray        # (N,)
+    grad_p: jnp.ndarray     # (N, 2)
+    grad_u: jnp.ndarray     # (N, 2)  d(u_x)/dx, d(u_x)/dy
+    grad_v: jnp.ndarray     # (N, 2)
+    fluxes: jnp.ndarray     # (F,)
+    u_old: jnp.ndarray      # (N, 2)  state at t^n
+    u_old_old: jnp.ndarray  # (N, 2)  state at t^{n-1} (BDF2)
+    time: jnp.ndarray       # f32 scalar
+
+    # Evolution / degeneracy detector (coupled_solver.rs:501-580)
+    prev_u: jnp.ndarray           # (N, 2) u at previous step
+    degenerate_count: jnp.ndarray  # int32
+    steady_count: jnp.ndarray      # int32
+    should_stop: jnp.ndarray       # bool
+
+    # Last-step diagnostics
+    outer_iters: jnp.ndarray       # int32
+    outer_residual_u: jnp.ndarray  # f32
+    outer_residual_p: jnp.ndarray  # f32
+    linear_iters: jnp.ndarray      # int32 (FGMRES inner iterations, last solve)
+    linear_residual: jnp.ndarray   # f32
+
+
+def initial_state(num_cells: int, num_faces: int,
+                  u0=None, p0=None, dtype=jnp.float32) -> SolverState:
+    """Build the initial state; ``initialize_history`` semantics of the
+    reference (solver.rs:276-294): history buffers = current state."""
+    N = num_cells
+    u = jnp.zeros((N, 2), dtype) if u0 is None else jnp.asarray(u0, dtype)
+    p = jnp.zeros((N,), dtype) if p0 is None else jnp.asarray(p0, dtype)
+    z = jnp.zeros((N,), dtype)
+    z2 = jnp.zeros((N, 2), dtype)
+    return SolverState(
+        u=u, p=p, d_p=z, grad_p=z2, grad_u=z2, grad_v=z2,
+        fluxes=jnp.zeros((num_faces,), dtype),
+        u_old=u, u_old_old=u, time=jnp.asarray(0.0, dtype),
+        prev_u=u, degenerate_count=jnp.asarray(0, jnp.int32),
+        steady_count=jnp.asarray(0, jnp.int32),
+        should_stop=jnp.asarray(False),
+        outer_iters=jnp.asarray(0, jnp.int32),
+        outer_residual_u=jnp.asarray(0.0, dtype),
+        outer_residual_p=jnp.asarray(0.0, dtype),
+        linear_iters=jnp.asarray(0, jnp.int32),
+        linear_residual=jnp.asarray(0.0, dtype),
+    )

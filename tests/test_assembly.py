@@ -1,0 +1,102 @@
+"""Discretization sanity tests for the assembled operators — internal
+consistency checks the reference enforces only implicitly through its
+stability tests."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cfd2_tpu.mesh import BackwardsStep, generate_cut_cell_mesh
+from cfd2_tpu.models.assembly import assemble_coupled, prepare
+from cfd2_tpu.ops.blockell import block_spmv, scalar_spmv
+from cfd2_tpu.runtime.device_mesh import encode_mesh
+from cfd2_tpu.runtime.state import SolverConfig, SolverParams, initial_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geo = BackwardsStep(length=3.5, height_inlet=0.5, height_outlet=1.0,
+                        step_x=0.5)
+    mesh = generate_cut_cell_mesh(geo, 0.1, 0.1, 1.2, (3.5, 1.0))
+    dm = encode_mesh(mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.001)
+    state = initial_state(dm.num_cells, dm.num_faces,
+                          u0=np.full((dm.num_cells, 2), [0.1, 0.0]))
+    state = prepare(dm, state, params, config)
+    sys = assemble_coupled(dm, state, params, config)
+    return dm, sys
+
+
+def _dense_from_blocks(dm, sys):
+    """Materialize the block-ELL operator as a dense (3N, 3N) matrix."""
+    N = dm.num_cells
+    A = np.zeros((3 * N, 3 * N), np.float64)
+    Ad = np.asarray(sys.A_diag, np.float64)
+    Ao = np.asarray(sys.A_off, np.float64)
+    ngh = np.asarray(dm.ck_neighbor)
+    for i in range(N):
+        A[3 * i:3 * i + 3, 3 * i:3 * i + 3] += Ad[i]
+        for k in range(dm.max_faces):
+            j = ngh[i, k]
+            A[3 * i:3 * i + 3, 3 * j:3 * j + 3] += Ao[i, k]
+    return A
+
+
+def test_block_spmv_matches_dense(setup):
+    dm, sys = setup
+    N = dm.num_cells
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((N, 3)).astype(np.float32)
+    y = np.asarray(block_spmv(sys, dm, jnp.asarray(x)))
+    A = _dense_from_blocks(dm, sys)
+    y_ref = (A @ x.reshape(-1).astype(np.float64)).reshape(N, 3)
+    assert np.allclose(y, y_ref, rtol=1e-4, atol=1e-4)
+
+
+def test_scalar_pressure_matrix_symmetric(setup):
+    """The Schur pressure matrix is a weighted Laplacian -> symmetric."""
+    dm, sys = setup
+    N = dm.num_cells
+    P = np.zeros((N, N), np.float64)
+    Pd = np.asarray(sys.P_diag, np.float64)
+    Po = np.asarray(sys.P_off, np.float64)
+    ngh = np.asarray(dm.ck_neighbor)
+    for i in range(N):
+        P[i, i] += Pd[i]
+        for k in range(dm.max_faces):
+            P[i, ngh[i, k]] += Po[i, k]
+    assert np.abs(P - P.T).max() < 1e-5 * max(np.abs(P).max(), 1.0)
+
+
+def test_scalar_pressure_row_sums(setup):
+    """Interior rows of the pressure Laplacian sum to zero; rows of cells
+    touching the outlet are positive (Dirichlet p=0 there)."""
+    dm, sys = setup
+    x = jnp.ones((dm.num_cells,), jnp.float32)
+    row_sums = np.asarray(scalar_spmv(sys.P_diag, sys.P_off, dm, x))
+    touches_outlet = np.asarray(
+        jnp.max((dm.ck_boundary == 2) * dm.ck_mask, axis=1)) > 0
+    assert np.abs(row_sums[~touches_outlet]).max() < 1e-3 * np.abs(
+        np.asarray(sys.P_diag)).max()
+    assert (row_sums[touches_outlet] > 0).all()
+
+
+def test_momentum_diag_positive(setup):
+    dm, sys = setup
+    Ad = np.asarray(sys.A_diag)
+    assert (Ad[:, 0, 0] > 0).all()
+    assert (Ad[:, 1, 1] > 0).all()
+
+
+def test_divergence_row_of_uniform_flow(setup):
+    """Continuity rows applied to uniform velocity (and zero p) measure the
+    discrete divergence: zero for interior cells away from boundaries."""
+    dm, sys = setup
+    N = dm.num_cells
+    x = np.zeros((N, 3), np.float32)
+    x[:, 0] = 1.0  # uniform u
+    y = np.asarray(block_spmv(sys, dm, jnp.asarray(x)))
+    touches_boundary = np.asarray(jnp.max(dm.ck_is_boundary, axis=1)) > 0
+    div = y[:, 2]
+    assert np.abs(div[~touches_boundary]).max() < 1e-4

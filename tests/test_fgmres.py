@@ -1,0 +1,68 @@
+"""FGMRES unit tests (the reference has no isolated Krylov tests; these pin
+down the solver the stability tests depend on)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cfd2_tpu.ops.fgmres import fgmres_solve
+
+
+def _dense_solve(A, b, precond_scale, restart=20, max_restarts=10):
+    N = b.shape[0]
+    Aj = jnp.asarray(A)
+    matvec = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    precond = lambda r: r * precond_scale
+    return fgmres_solve(matvec, precond, jnp.asarray(b),
+                        jnp.zeros((N, 3), jnp.float32),
+                        restart=restart, max_restarts=max_restarts,
+                        tol=1e-6, abstol=1e-10)
+
+
+def test_diagonally_dominant_system():
+    rng = np.random.default_rng(0)
+    N = 40
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.1
+    A += np.eye(3 * N, dtype=np.float32) * 5.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    res = _dense_solve(A, b, 0.2)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.linalg.norm(A @ x - b.reshape(-1)) / np.linalg.norm(b)
+    assert bool(res.converged)
+    assert rel < 1e-4
+
+
+def test_restart_path():
+    """Force multiple restarts with a small restart length."""
+    rng = np.random.default_rng(1)
+    N = 30
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.3
+    A += np.eye(3 * N, dtype=np.float32) * 4.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    res = _dense_solve(A, b, 0.25, restart=5, max_restarts=40)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.linalg.norm(A @ x - b.reshape(-1)) / np.linalg.norm(b)
+    assert rel < 1e-3
+
+
+def test_zero_rhs_returns_initial_guess():
+    N = 10
+    A = np.eye(3 * N, dtype=np.float32)
+    b = np.zeros((N, 3), np.float32)
+    res = _dense_solve(A, b, 1.0)
+    assert bool(res.converged)
+    assert np.allclose(np.asarray(res.x), 0.0)
+
+
+def test_exact_initial_guess_takes_zero_iterations():
+    rng = np.random.default_rng(2)
+    N = 10
+    A = np.eye(3 * N, dtype=np.float32) * 2.0
+    x_true = rng.standard_normal((N, 3)).astype(np.float32)
+    b = (A @ x_true.reshape(-1)).reshape(N, 3)
+    Aj = jnp.asarray(A)
+    matvec = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    res = fgmres_solve(matvec, lambda r: r, jnp.asarray(b),
+                       jnp.asarray(x_true), restart=10, max_restarts=5,
+                       tol=1e-5, abstol=1e-7)
+    assert bool(res.converged)
+    assert int(res.iterations) == 0
