@@ -1,0 +1,276 @@
+"""Algebraic multigrid for the scalar pressure (Schur) system.
+
+TPU-native re-design of the reference AMG (src/solver/gpu/linear_solver/amg.rs):
+
+* **Setup** (host, once per mesh): greedy aggregation over the pressure
+  sparsity pattern (amg.rs:84-116), piecewise-constant prolongation
+  (:118-139), and the *structure* of each Galerkin coarse operator — but not
+  its values.  The hierarchy depth/sizes are static, so every level is
+  compiled with fixed shapes.
+* **Values** (device, per solve): because prolongation is piecewise-constant,
+  every coarse matrix entry is a plain sum of fine entries; we precompute the
+  fine-slot -> coarse-slot index map and rebuild all level values with one
+  ``segment_sum`` per level.  This improves on the reference, which freezes
+  the hierarchy values at first use (coupled_solver_fgmres.rs:174-209) and
+  preconditions later steps with a stale matrix.
+* **V-cycle** (jitted, unrolled over the static hierarchy, amg.rs:666-770):
+  damped-Jacobi pre-smooth (omega=0.8) -> fused residual+restrict -> zero
+  coarse guess; 10 smooths on the coarsest level; prolongate -> post-smooth
+  on the way up.  Restriction gathers aggregate members (static padded map);
+  prolongation is a gather by aggregate id.
+
+Hierarchy terminates at <=100 rows or 20 levels (amg.rs:466-481).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .blockell import BlockSystem
+
+_OMEGA = 0.8
+_COARSE_SWEEPS = 10
+_MIN_COARSE = 100
+_MAX_LEVELS = 20
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class AmgLevel:
+    """One coarse level (level 0 is the fine pressure system itself)."""
+    n: int                       # static size
+    k: int                       # static max neighbors in ELL
+    ell_neighbor: jnp.ndarray    # (n, k) int32, self-padded
+    rap_target: jnp.ndarray      # flattened finer-values -> this level's slots
+    agg: jnp.ndarray             # (n_fine,) int32 aggregate id (prolongation)
+    members: jnp.ndarray         # (n, m) int32 fine members (restriction)
+    members_mask: jnp.ndarray    # (n, m) f32
+
+    def tree_flatten(self):
+        return ((self.ell_neighbor, self.rap_target, self.agg,
+                 self.members, self.members_mask), (self.n, self.k))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(aux[0], aux[1], *children)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class AmgHierarchy:
+    levels: tuple  # of AmgLevel, coarsest last; empty if mesh too small
+
+    def tree_flatten(self):
+        return (tuple(self.levels),), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(levels=children[0])
+
+
+# ----------------------------------------------------------------------
+# Host-side setup
+
+
+def _greedy_aggregate(adj: list[np.ndarray]) -> tuple[np.ndarray, int]:
+    """Reference greedy aggregation (amg.rs:84-116): each unaggregated cell
+    seeds an aggregate and absorbs its unaggregated neighbors."""
+    n = len(adj)
+    agg = np.full(n, -1, dtype=np.int64)
+    num = 0
+    for i in range(n):
+        if agg[i] >= 0:
+            continue
+        agg[i] = num
+        for j in adj[i]:
+            if agg[j] < 0:
+                agg[j] = num
+        num += 1
+    return agg, num
+
+
+def _adjacency_from_ell(ngh: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
+    n = ngh.shape[0]
+    out = []
+    for i in range(n):
+        nb = ngh[i][mask[i]]
+        nb = nb[nb != i]
+        out.append(np.unique(nb))
+    return out
+
+
+def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray) -> AmgHierarchy:
+    """Build the static AMG hierarchy from the fine pressure sparsity pattern
+    (the mesh's cell adjacency)."""
+    n0 = ck_neighbor.shape[0]
+    # Level 0 adjacency (list of neighbor arrays per cell).
+    adj = _adjacency_from_ell(np.asarray(ck_neighbor),
+                              np.asarray(ck_mask) > 0)
+    levels: list[AmgLevel] = []
+    fine_ngh = np.asarray(ck_neighbor, dtype=np.int64)
+    fine_mask = np.asarray(ck_mask) > 0
+    n = n0
+
+    for _level in range(_MAX_LEVELS):
+        if n <= _MIN_COARSE:
+            break
+        agg, nc = _greedy_aggregate(adj)
+        if nc >= n:
+            break
+
+        # Coarse adjacency from fine edges.
+        coarse_sets = [set() for _ in range(nc)]
+        for i in range(n):
+            ai = agg[i]
+            for j in adj[i]:
+                aj = agg[j]
+                if aj != ai:
+                    coarse_sets[ai].add(aj)
+        coarse_adj = [np.array(sorted(s), dtype=np.int64) for s in coarse_sets]
+        kc = max((len(s) for s in coarse_adj), default=1)
+        kc = max(kc, 1)
+        coarse_ngh = np.tile(np.arange(nc, dtype=np.int64)[:, None], (1, kc))
+        coarse_mask = np.zeros((nc, kc), dtype=bool)
+        for c, nb in enumerate(coarse_adj):
+            coarse_ngh[c, :len(nb)] = nb
+            coarse_mask[c, :len(nb)] = True
+
+        # Slot lookup for coarse off-diagonal entries.
+        slot_of = [{int(j): kk for kk, j in enumerate(coarse_adj[c])}
+                   for c in range(nc)]
+
+        # RAP index map: flattened fine values [diag(n); off(n*k)] -> coarse
+        # flattened slots [c*(kc+1) + 0 (diag) | 1+slot]; dump slot at end.
+        kf = fine_ngh.shape[1]
+        dump = nc * (kc + 1)
+        targets = np.full(n + n * kf, dump, dtype=np.int64)
+        targets[:n] = agg * (kc + 1)                       # fine diag -> coarse diag
+        fi = np.repeat(np.arange(n), kf)
+        fk = fine_ngh.ravel()
+        fvalid = fine_mask.ravel() & (fk != fi)
+        a_i = agg[fi]
+        a_j = agg[fk]
+        flat_idx = np.arange(n * kf) + n
+        same = a_i == a_j
+        targets[flat_idx[fvalid & same]] = a_i[fvalid & same] * (kc + 1)
+        cross = fvalid & ~same
+        for t, ai, aj in zip(flat_idx[cross], a_i[cross], a_j[cross]):
+            targets[t] = ai * (kc + 1) + 1 + slot_of[ai][int(aj)]
+
+        # Restriction member lists (piecewise-constant R = P^T).
+        counts = np.bincount(agg, minlength=nc)
+        m = int(counts.max())
+        members = np.zeros((nc, m), dtype=np.int64)
+        members_mask = np.zeros((nc, m), dtype=np.float64)
+        fill = np.zeros(nc, dtype=np.int64)
+        for i in range(n):
+            a = agg[i]
+            members[a, fill[a]] = i
+            members_mask[a, fill[a]] = 1.0
+            fill[a] += 1
+
+        levels.append(AmgLevel(
+            n=nc, k=kc,
+            ell_neighbor=jnp.asarray(coarse_ngh, jnp.int32),
+            rap_target=jnp.asarray(targets, jnp.int32),
+            agg=jnp.asarray(agg, jnp.int32),
+            members=jnp.asarray(members, jnp.int32),
+            members_mask=jnp.asarray(members_mask, jnp.float32),
+        ))
+
+        adj = coarse_adj
+        fine_ngh = coarse_ngh
+        fine_mask = coarse_mask
+        n = nc
+
+    return AmgHierarchy(levels=tuple(levels))
+
+
+# ----------------------------------------------------------------------
+# Device-side per-solve value computation + V-cycle
+
+
+def compute_level_values(hier: AmgHierarchy, P_diag: jnp.ndarray,
+                         P_off: jnp.ndarray):
+    """Galerkin-coarsen the current pressure values down the hierarchy."""
+    vals = [(P_diag, P_off)]
+    for lvl in hier.levels:
+        fd, fo = vals[-1]
+        flat = jnp.concatenate([fd, fo.reshape(-1)])
+        seg = jax.ops.segment_sum(flat, lvl.rap_target,
+                                  num_segments=lvl.n * (lvl.k + 1) + 1)
+        seg = seg[:-1].reshape(lvl.n, lvl.k + 1)
+        vals.append((seg[:, 0], seg[:, 1:]))
+    return vals
+
+
+def _ell_spmv(diag, off, ngh, x):
+    return diag * x + jnp.sum(off * x[ngh], axis=1)
+
+
+def _smooth(diag, off, ngh, x, b, sweeps=1):
+    dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 0.0)
+    for _ in range(sweeps):
+        x = x + _OMEGA * dinv * (b - _ell_spmv(diag, off, ngh, x))
+    return x
+
+
+def v_cycle(hier: AmgHierarchy, level_values, fine_ngh: jnp.ndarray,
+            b0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+    """One V-cycle; level structure is static so the cycle fully unrolls."""
+    L = len(hier.levels)
+    nghs = [fine_ngh] + [lvl.ell_neighbor for lvl in hier.levels]
+
+    xs = [x0]
+    bs = [b0]
+    # Downward
+    for i in range(L):
+        diag, off = level_values[i]
+        lvl = hier.levels[i]
+        x = _smooth(diag, off, nghs[i], xs[i], bs[i])
+        r = bs[i] - _ell_spmv(diag, off, nghs[i], x)
+        b_c = jnp.sum(r[lvl.members] * lvl.members_mask, axis=1)
+        xs[i] = x
+        bs.append(b_c)
+        xs.append(jnp.zeros((lvl.n,), x.dtype))
+
+    # Coarsest solve: 10 damped-Jacobi sweeps.
+    diag, off = level_values[L]
+    xs[L] = _smooth(diag, off, nghs[L], xs[L], bs[L], sweeps=_COARSE_SWEEPS)
+
+    # Upward
+    for i in reversed(range(L)):
+        lvl = hier.levels[i]
+        diag, off = level_values[i]
+        x = xs[i] + xs[i + 1][lvl.agg]
+        xs[i] = _smooth(diag, off, nghs[i], x, bs[i])
+
+    return xs[0]
+
+
+def make_pressure_solve(hier: AmgHierarchy, mesh):
+    """Return a factory(sys) -> pressure_solve(rhs_p) closure for the Schur
+    preconditioner (the AMG path of coupled_solver_fgmres.rs:1942-1946)."""
+    def factory(sys: BlockSystem):
+        level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+
+        def pressure_solve(rhs_p):
+            x0 = sys.diag_p_inv * rhs_p      # Jacobi seed, like p_sol init
+            return v_cycle(hier, level_values, mesh.ck_neighbor, rhs_p, x0)
+
+        return pressure_solve
+
+    return factory
+
+
+def amg_pressure_solve_factory(solver):
+    """Build (and cache) the AMG factory for a CoupledSolver instance."""
+    hier = build_hierarchy(np.asarray(solver.mesh.ck_neighbor),
+                           np.asarray(solver.mesh.ck_mask))
+    if not hier.levels:
+        return None   # mesh too small; fall back to Chebyshev
+    return make_pressure_solve(hier, solver.mesh)

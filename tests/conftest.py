@@ -1,10 +1,16 @@
-"""Test harness config: force CPU backend with 8 virtual devices so sharding
-tests run anywhere; must be set before jax is imported."""
+"""Test harness config: force the CPU backend with 8 virtual devices so
+sharding tests run anywhere.  XLA_FLAGS must be set before jax initializes;
+the platform override goes through jax.config because this environment's
+sitecustomize pre-registers an accelerator plugin that wins over the
+JAX_PLATFORMS env var."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")

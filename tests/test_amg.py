@@ -1,0 +1,90 @@
+"""AMG tests: V-cycle convergence as a standalone solver, and the
+AMG-preconditioned coupled path (port of reference tests/amg_test.rs:6-90:
+Jacobi then AMG, 5 steps each, pressure finite and 0 < max_p < 1000)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from cfd2_tpu.mesh import BackwardsStep, generate_cut_cell_mesh
+from cfd2_tpu.models.assembly import assemble_coupled, prepare
+from cfd2_tpu.models.coupled import CoupledSolver
+from cfd2_tpu.ops.amg import build_hierarchy, compute_level_values, v_cycle
+from cfd2_tpu.ops.blockell import scalar_spmv
+from cfd2_tpu.runtime.device_mesh import encode_mesh
+from cfd2_tpu.runtime.state import (
+    PRECOND_AMG,
+    PRECOND_JACOBI,
+    SolverConfig,
+    SolverParams,
+    initial_state,
+)
+
+
+@pytest.fixture(scope="module")
+def bstep_mesh():
+    geo = BackwardsStep(length=3.5, height_inlet=0.5, height_outlet=1.0,
+                        step_x=0.5)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.5, 1.0))
+    mesh.smooth(geo, 0.3, 50)
+    return mesh
+
+
+def test_hierarchy_structure(bstep_mesh):
+    dm = encode_mesh(bstep_mesh)
+    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask))
+    assert len(hier.levels) >= 2
+    sizes = [lvl.n for lvl in hier.levels]
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[-1] <= 100 or len(hier.levels) == 20
+    # Aggregates partition the fine grid.
+    agg = np.asarray(hier.levels[0].agg)
+    assert agg.min() == 0 and agg.max() == hier.levels[0].n - 1
+
+
+def test_v_cycle_reduces_residual(bstep_mesh):
+    dm = encode_mesh(bstep_mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.001)
+    state = initial_state(dm.num_cells, dm.num_faces,
+                          u0=np.full((dm.num_cells, 2), [0.1, 0.0]))
+    state = prepare(dm, state, params, config)
+    sys = assemble_coupled(dm, state, params, config)
+    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask))
+    lv = compute_level_values(hier, sys.P_diag, sys.P_off)
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.standard_normal(dm.num_cells).astype(np.float32))
+    bn = float(jnp.linalg.norm(b))
+    x = jnp.where(jnp.abs(sys.P_diag) > 1e-30, b / sys.P_diag, 0.0)
+    residuals = []
+    for _ in range(5):
+        x = v_cycle(hier, lv, dm.ck_neighbor, b, x)
+        r = b - scalar_spmv(sys.P_diag, sys.P_off, dm, x)
+        residuals.append(float(jnp.linalg.norm(r)) / bn)
+    assert residuals[-1] < 0.5          # monotone contraction
+    assert residuals[-1] < residuals[0]
+
+
+def _run_steps(mesh, precond, n_steps=5):
+    s = CoupledSolver(mesh)
+    s.set_precond_type(precond)
+    s.set_dt(0.001)
+    s.set_density(1.0)
+    s.set_viscosity(0.01)
+    s.set_u(np.full((mesh.num_cells, 2), [0.1, 0.0]))
+    for _ in range(n_steps):
+        s.step()
+    return s
+
+
+def test_jacobi_then_amg_preconditioner(bstep_mesh):
+    """Reference amg_test.rs: both preconditioners give finite bounded p."""
+    for precond in (PRECOND_JACOBI, PRECOND_AMG):
+        s = _run_steps(bstep_mesh, precond)
+        p = s.get_p()
+        u = s.get_u()
+        assert np.isfinite(p).all()
+        assert np.isfinite(u).all()
+        max_p = np.abs(p).max()
+        assert 0.0 < max_p < 1000.0, f"precond {precond}: max_p={max_p}"
