@@ -20,9 +20,12 @@ from .structs import (
     Mesh,
 )
 from .cut_cell import generate_cut_cell_mesh
+from .delaunay import generate_delaunay_mesh, triangulate
+from .voronoi import generate_voronoi_mesh
 
 __all__ = [
     "Geometry", "ChannelWithObstacle", "BackwardsStep", "RectangularChannel",
     "CircleObstacle", "Mesh", "generate_cut_cell_mesh",
+    "generate_delaunay_mesh", "generate_voronoi_mesh", "triangulate",
     "BOUNDARY_NONE", "BOUNDARY_INLET", "BOUNDARY_OUTLET", "BOUNDARY_WALL",
 ]
