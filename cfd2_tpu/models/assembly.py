@@ -4,17 +4,22 @@ TPU-native equivalents of the reference WGSL compute shaders:
 
 * :func:`prepare` — shaders/prepare_coupled.wgsl:63-348 — Rhie–Chow face mass
   fluxes, the pressure-correction coefficient d_p = vol/a_P, and Green–Gauss
-  gradients of p, u, v.  Fluxes are face-parallel; the cell accumulations are
-  gathers over the padded (N, K) slots (no scatter).
+  gradients of p, u, v.
 * :func:`assemble_coupled` — shaders/coupled_assembly_merged.wgsl:70-463 — the
   fully-coupled 3x3 block system (momentum + continuity with Rhie–Chow
   pressure Laplacian), the scalar pressure (Schur) matrix, RHS, and diagonal
   inverses, in one fused pass of elementwise ops over (N, K).
 
+Neighbor access goes through ``mesh.gather`` — array shifts (stencils) on
+structured uniform grids, a single gather otherwise.  On structured meshes
+fluxes are computed in slot layout: the E and N slots evaluate the Rhie–Chow
+formula once per face and the W/S slots mirror them by shift, preserving the
+reference's exact per-face antisymmetry (mass conservation to the last ulp).
+
 Boundary codes: 1=Inlet (ramped u_bc), 2=Outlet (p=0, backflow guard),
-3=Wall (no-slip).  All physics matches the reference discretization:
-upwind convection, orthogonality-corrected diffusion, deferred-correction
-SOU/QUICK, Euler/BDF2 time schemes.
+3=Wall (no-slip).  The discretization matches the reference: upwind
+convection, orthogonality-corrected diffusion, deferred-correction SOU/QUICK,
+Euler/BDF2 time schemes.
 """
 
 from __future__ import annotations
@@ -24,7 +29,7 @@ from dataclasses import replace
 import jax.numpy as jnp
 
 from ..ops.blockell import BlockSystem
-from ..runtime.device_mesh import DeviceMesh
+from ..runtime.device_mesh import SLOT_E, SLOT_N, SLOT_S, SLOT_W, DeviceMesh
 from ..runtime.state import (
     SCHEME_QUICK,
     SCHEME_SECOND_ORDER_UPWIND,
@@ -57,11 +62,8 @@ def _time_coeff(mesh: DeviceMesh, params: SolverParams, config: SolverConfig):
 
 def compute_fluxes(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                    time: jnp.ndarray) -> jnp.ndarray:
-    """Rhie–Chow face mass fluxes, face-parallel (prepare_coupled.wgsl:120-195).
-
-    Flux sign convention: positive = out of the owner cell (normals are
-    canonically owner-outward).
-    """
+    """Rhie–Chow face mass fluxes, face-parallel, for the generic path
+    (prepare_coupled.wgsl:120-195).  Positive = out of the owner cell."""
     own = mesh.f_owner
     ngh = mesh.f_neighbor_safe
 
@@ -84,10 +86,63 @@ def compute_fluxes(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     un_own = u_own[:, 0] * mesh.f_nx + u_own[:, 1] * mesh.f_ny
     flux_outlet = jnp.maximum(0.0, params.density * un_own * mesh.f_area)
 
-    flux = jnp.where(mesh.f_internal, flux_internal,
+    return jnp.where(mesh.f_internal, flux_internal,
                      jnp.where(mesh.f_boundary == 1, flux_inlet,
-                               jnp.where(mesh.f_boundary == 2, flux_outlet, 0.0)))
-    return flux
+                               jnp.where(mesh.f_boundary == 2, flux_outlet,
+                                         0.0)))
+
+
+def _boundary_slot_fluxes(mesh, state, params, time):
+    """Boundary-face mass flux for every slot (inlet ramp / outlet guard /
+    wall zero), elementwise (no neighbor data needed)."""
+    u_bc = _inlet_velocity(params, time)
+    an = mesh.ck_area * mesh.ck_nx
+    fl_inlet = params.density * u_bc * an
+    un = state.u[:, 0][:, None] * mesh.ck_nx + state.u[:, 1][:, None] * mesh.ck_ny
+    fl_outlet = jnp.maximum(0.0, params.density * un * mesh.ck_area)
+    return jnp.where(mesh.ck_boundary == 1, fl_inlet,
+                     jnp.where(mesh.ck_boundary == 2, fl_outlet, 0.0))
+
+
+def compute_slot_fluxes(mesh: DeviceMesh, state: SolverState,
+                        params: SolverParams, time: jnp.ndarray) -> jnp.ndarray:
+    """Structured-path fluxes in slot layout (N, K), outward-positive.
+
+    E/N slots evaluate the internal Rhie–Chow formula; W/S mirror them via
+    shifts (exact antisymmetry); boundary slots use the boundary formulas.
+    """
+    u_n = mesh.gather(state.u)          # (N, K, 2)
+    p_n = mesh.gather(state.p)          # (N, K)
+    dp_n = mesh.gather(state.d_p)
+    gp_n = mesh.gather(state.grad_p)    # (N, K, 2)
+
+    lam = mesh.ck_lam
+    u_face = lam[..., None] * state.u[:, None, :] + (1.0 - lam[..., None]) * u_n
+    dp_face = lam * state.d_p[:, None] + (1.0 - lam) * dp_n
+    gp_face = lam[..., None] * state.grad_p[:, None, :] + (1.0 - lam[..., None]) * gp_n
+
+    gpn = gp_face[..., 0] * mesh.ck_nx + gp_face[..., 1] * mesh.ck_ny
+    p_grad = (p_n - state.p[:, None]) / mesh.ck_dist_proj
+    rc = dp_face * mesh.ck_area * (gpn - p_grad)
+    un_face = u_face[..., 0] * mesh.ck_nx + u_face[..., 1] * mesh.ck_ny
+    fl_int = params.density * (un_face * mesh.ck_area + rc)   # (N, K)
+
+    fl_bdry = _boundary_slot_fluxes(mesh, state, params, time)
+
+    is_b = mesh.ck_is_boundary > 0
+    mask = mesh.ck_mask
+    fE = jnp.where(is_b[:, SLOT_E], fl_bdry[:, SLOT_E], fl_int[:, SLOT_E]) \
+        * mask[:, SLOT_E]
+    fN = jnp.where(is_b[:, SLOT_N], fl_bdry[:, SLOT_N], fl_int[:, SLOT_N]) \
+        * mask[:, SLOT_N]
+    fW = jnp.where(is_b[:, SLOT_W], fl_bdry[:, SLOT_W],
+                   -mesh.shift_from_west(fE)) * mask[:, SLOT_W]
+    fS = jnp.where(is_b[:, SLOT_S], fl_bdry[:, SLOT_S],
+                   -mesh.shift_from_south(fN)) * mask[:, SLOT_S]
+    cols = [fE, fW, fN, fS]
+    for k in range(4, mesh.max_faces):
+        cols.append(fl_bdry[:, k] * mask[:, k])
+    return jnp.stack(cols, axis=1)
 
 
 def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
@@ -97,31 +152,28 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     Uses the *incoming* state's d_p/grad_p in the Rhie–Chow flux (like the
     reference, which reads them before overwriting).
     """
-    flux = compute_fluxes(mesh, state, params, state.time)
+    if mesh.structured:
+        flux = compute_slot_fluxes(mesh, state, params, state.time)
+        flux_out = flux
+    else:
+        flux = compute_fluxes(mesh, state, params, state.time)
+        flux_out = mesh.slot_fluxes(flux)
 
     mask = mesh.ck_mask
     is_b = mesh.ck_is_boundary
     bdry = mesh.ck_boundary
-    other = mesh.ck_neighbor
 
     # --- d_p: momentum diagonal accumulation (prepare_coupled.wgsl:202-254) ---
-    flux_out = flux[mesh.ck_face] * mesh.ck_sign          # (N, K)
     diff = params.viscosity * mesh.ck_area / mesh.ck_dist  # plain distance here
     conv_diag = jnp.maximum(flux_out, 0.0)
-
-    contrib_internal = diff + conv_diag
-    contrib_inlet_wall = diff + conv_diag                   # same accumulation
-    contrib_outlet = conv_diag
-    contrib = jnp.where(is_b > 0,
-                        jnp.where(bdry == 2, contrib_outlet, contrib_inlet_wall),
-                        contrib_internal)
+    contrib = jnp.where((is_b > 0) & (bdry == 2), conv_diag, diff + conv_diag)
     diag = _time_coeff(mesh, params, config) + jnp.sum(contrib * mask, axis=1)
     d_p = jnp.where(jnp.abs(diag) > 1e-20, mesh.c_vol / diag, 0.0)
 
     # --- Green-Gauss gradients (prepare_coupled.wgsl:256-347) ---
     lam = mesh.ck_lam
     p_this = state.p[:, None]
-    p_other = state.p[other]
+    p_other = mesh.gather(state.p)
     pf_internal = lam * p_this + (1.0 - lam) * p_other
     pf_bdry = jnp.where(bdry == 2, 0.0, p_this)            # outlet: p = 0
     p_face = jnp.where(is_b > 0, pf_bdry, pf_internal) * mask
@@ -132,12 +184,13 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     ], axis=1)
 
     u_bc = _inlet_velocity(params, state.time)
+    u_other = mesh.gather(state.u)                         # (N, K, 2)
     for_comp = []
     for comp in (0, 1):
         v_this = state.u[:, comp][:, None]
-        v_other = state.u[other, comp]
-        vf_internal = lam * v_this + (1.0 - lam) * v_other
-        bc_val = jnp.where(bdry == 1, (u_bc if comp == 0 else 0.0) * jnp.ones_like(v_this),
+        vf_internal = lam * v_this + (1.0 - lam) * u_other[..., comp]
+        bc_val = jnp.where(bdry == 1,
+                           (u_bc if comp == 0 else 0.0) * jnp.ones_like(v_this),
                            jnp.where(bdry == 3, 0.0, v_this))
         v_face = jnp.where(is_b > 0, bc_val, vf_internal) * mask
         for_comp.append(jnp.stack([
@@ -153,21 +206,21 @@ def _deferred_correction(mesh, state, flux, config):
     """Higher-order convection via deferred correction
     (coupled_assembly_merged.wgsl:229-293).  Returns (corr_u, corr_v) summed
     over internal slots, to be subtracted from the RHS."""
-    other = mesh.ck_neighbor
     upwind_own = flux > 0.0
 
+    u_other2 = mesh.gather(state.u)          # (N, K, 2)
     u_this = state.u[:, 0][:, None]
     v_this = state.u[:, 1][:, None]
-    u_other = state.u[other, 0]
-    v_other = state.u[other, 1]
+    u_other = u_other2[..., 0]
+    v_other = u_other2[..., 1]
 
     phi_up_u = jnp.where(upwind_own, u_this, u_other)
     phi_up_v = jnp.where(upwind_own, v_this, v_other)
 
     gu_this = state.grad_u[:, None, :]        # (N, 1, 2)
     gv_this = state.grad_v[:, None, :]
-    gu_other = state.grad_u[other]            # (N, K, 2)
-    gv_other = state.grad_v[other]
+    gu_other = mesh.gather(state.grad_u)      # (N, K, 2)
+    gv_other = mesh.gather(state.grad_v)
 
     if config.scheme == SCHEME_SECOND_ORDER_UPWIND:
         # r vector from the upwind cell's center to the face center.
@@ -204,9 +257,8 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     is_b = mesh.ck_is_boundary
     internal = mask * (1.0 - is_b)
     bdry = mesh.ck_boundary
-    other = mesh.ck_neighbor
 
-    flux = state.fluxes[mesh.ck_face] * mesh.ck_sign       # (N, K)
+    flux = mesh.slot_fluxes(state.fluxes)                  # (N, K), outward
     dist = mesh.ck_dist_proj
     diff = params.viscosity * mesh.ck_area / dist
     conv_diag = jnp.maximum(flux, 0.0)
@@ -231,7 +283,7 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 
     # ---- internal-face contributions ----
     off_mom = (-diff + conv_off) * internal                # A_uu = A_vv off-diag
-    diag_mom_c = (diff + conv_diag) * internal             # accumulate to diag
+    diag_mom_c = (diff + conv_diag) * internal
 
     off_up = (1.0 - lam) * area_nx * internal
     off_vp = (1.0 - lam) * area_ny * internal
@@ -244,7 +296,7 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     diag_pv_c = lam * area_ny * internal
 
     dp_this = state.d_p[:, None]
-    dp_other = state.d_p[other]
+    dp_other = mesh.gather(state.d_p)
     dp_f = lam * dp_this + (1.0 - lam) * dp_other
     lapl = dp_f * mesh.ck_area / dist
     off_pp = -lapl * internal
@@ -295,8 +347,12 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         rhs_u = rhs_u - corr_u
         rhs_v = rhs_v - corr_v
 
+    # ---- masked solid cells (structured layout): identity pressure rows ----
+    valid = mesh.c_valid
+    diag_pp = jnp.where(valid > 0, diag_pp, 1.0)
+    P_diag = jnp.where(valid > 0, P_diag, 1.0)
+
     # ---- pack blocks ----
-    N, K = flux.shape
     zero_nk = jnp.zeros_like(flux)
     A_off = jnp.stack([
         jnp.stack([off_mom, zero_nk, off_up], axis=-1),
@@ -311,7 +367,7 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         jnp.stack([diag_pu, diag_pv, diag_pp], axis=-1),
     ], axis=-2)                                            # (N, 3, 3)
 
-    rhs = jnp.stack([rhs_u, rhs_v, rhs_p], axis=-1)
+    rhs = jnp.stack([rhs_u, rhs_v, rhs_p], axis=-1) * valid[:, None]
 
     def safe_inv(x):
         return jnp.where(jnp.abs(x) > 1e-14, 1.0 / x, 0.0)

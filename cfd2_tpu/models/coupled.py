@@ -55,15 +55,24 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None):
         stagnation_limit=config.fgmres_stagnation_limit)
 
 
-def check_evolution(state: SolverState, config: SolverConfig) -> SolverState:
+def check_evolution(state: SolverState, config: SolverConfig,
+                    valid: jnp.ndarray | None = None) -> SolverState:
     """On-device steady-state / degeneracy classifier
-    (reference coupled_solver.rs:501-580, there a full GPU->CPU readback)."""
+    (reference coupled_solver.rs:501-580, there a full GPU->CPU readback).
+
+    ``valid`` masks out structured-layout solid cells so statistics match the
+    reference's fluid-cells-only readback."""
     u = state.u
-    mean = jnp.mean(u, axis=0)
-    var = jnp.mean(u * u, axis=0) - mean * mean
+    if valid is None:
+        w = jnp.ones((u.shape[0],), u.dtype)
+    else:
+        w = valid
+    n = jnp.sum(w)
+    mean = jnp.sum(u * w[:, None], axis=0) / n
+    var = jnp.sum(u * u * w[:, None], axis=0) / n - mean * mean
     var = jnp.maximum(var, 0.0)
 
-    rmse = jnp.sqrt(jnp.mean(jnp.sum((u - state.prev_u) ** 2, axis=1)))
+    rmse = jnp.sqrt(jnp.sum(jnp.sum((u - state.prev_u) ** 2, axis=1) * w) / n)
 
     evolving = rmse >= config.evolution_threshold
     uniform = (var[0] < config.variance_threshold) & (var[1] < config.variance_threshold)
@@ -139,7 +148,7 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     state = replace(state, time=state.time + params.dt,
                     linear_iters=li, linear_residual=lr)
 
-    return check_evolution(state, config)
+    return check_evolution(state, config, valid=mesh.c_valid)
 
 
 @partial(jax.jit, static_argnames=("config", "num_steps"))
@@ -208,7 +217,7 @@ class CoupledSolver:
         self.mesh = encode_mesh(mesh)
         self.config = config or SolverConfig()
         self.params = params or SolverParams.default()
-        self.state = initial_state(self.mesh.num_cells, self.mesh.num_faces)
+        self.state = initial_state(self.mesh)
         self._amg = None
 
     # --- setters (reference solver.rs:36-95) ---
@@ -243,26 +252,28 @@ class CoupledSolver:
     def set_precond_type(self, pt: int):
         self.config = replace(self.config, precond_type=int(pt))
 
-    # --- field IO (solver.rs:97-128, 241-294) ---
+    # --- field IO (solver.rs:97-128, 241-294); host-mesh cell order ---
     def set_u(self, u):
         u = jnp.asarray(np.asarray(u, dtype=np.float32).reshape(-1, 2))
+        u = self.mesh.from_host_order(u)
         self.state = replace(self.state, u=u, u_old=u, u_old_old=u, prev_u=u)
 
     def set_p(self, p):
-        self.state = replace(self.state, p=jnp.asarray(p, jnp.float32))
+        p = self.mesh.from_host_order(jnp.asarray(p, jnp.float32))
+        self.state = replace(self.state, p=p)
 
     def initialize_history(self):
         self.state = replace(self.state, u_old=self.state.u,
                              u_old_old=self.state.u, prev_u=self.state.u)
 
     def get_u(self) -> np.ndarray:
-        return np.asarray(self.state.u)
+        return np.asarray(self.mesh.to_host_order(self.state.u))
 
     def get_p(self) -> np.ndarray:
-        return np.asarray(self.state.p)
+        return np.asarray(self.mesh.to_host_order(self.state.p))
 
     def get_d_p(self) -> np.ndarray:
-        return np.asarray(self.state.d_p)
+        return np.asarray(self.mesh.to_host_order(self.state.d_p))
 
     # --- stepping ---
     def _pressure_solve_factory(self):

@@ -208,22 +208,28 @@ def compute_level_values(hier: AmgHierarchy, P_diag: jnp.ndarray,
     return vals
 
 
-def _ell_spmv(diag, off, ngh, x):
-    return diag * x + jnp.sum(off * x[ngh], axis=1)
+def _ell_spmv(diag, off, gather, x):
+    return diag * x + jnp.sum(off * gather(x), axis=1)
 
 
-def _smooth(diag, off, ngh, x, b, sweeps=1):
+def _smooth(diag, off, gather, x, b, sweeps=1):
     dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 0.0)
     for _ in range(sweeps):
-        x = x + _OMEGA * dinv * (b - _ell_spmv(diag, off, ngh, x))
+        x = x + _OMEGA * dinv * (b - _ell_spmv(diag, off, gather, x))
     return x
 
 
-def v_cycle(hier: AmgHierarchy, level_values, fine_ngh: jnp.ndarray,
+def v_cycle(hier: AmgHierarchy, level_values, mesh,
             b0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
-    """One V-cycle; level structure is static so the cycle fully unrolls."""
+    """One V-cycle; level structure is static so the cycle fully unrolls.
+
+    Level 0 uses ``mesh.gather`` (stencil shifts on structured meshes);
+    coarse levels are small and use plain gathers over their ELL adjacency.
+    """
     L = len(hier.levels)
-    nghs = [fine_ngh] + [lvl.ell_neighbor for lvl in hier.levels]
+    gathers = [mesh.gather] + [
+        (lambda ngh: (lambda x: x[ngh]))(lvl.ell_neighbor)
+        for lvl in hier.levels]
 
     xs = [x0]
     bs = [b0]
@@ -231,8 +237,8 @@ def v_cycle(hier: AmgHierarchy, level_values, fine_ngh: jnp.ndarray,
     for i in range(L):
         diag, off = level_values[i]
         lvl = hier.levels[i]
-        x = _smooth(diag, off, nghs[i], xs[i], bs[i])
-        r = bs[i] - _ell_spmv(diag, off, nghs[i], x)
+        x = _smooth(diag, off, gathers[i], xs[i], bs[i])
+        r = bs[i] - _ell_spmv(diag, off, gathers[i], x)
         b_c = jnp.sum(r[lvl.members] * lvl.members_mask, axis=1)
         xs[i] = x
         bs.append(b_c)
@@ -240,14 +246,15 @@ def v_cycle(hier: AmgHierarchy, level_values, fine_ngh: jnp.ndarray,
 
     # Coarsest solve: 10 damped-Jacobi sweeps.
     diag, off = level_values[L]
-    xs[L] = _smooth(diag, off, nghs[L], xs[L], bs[L], sweeps=_COARSE_SWEEPS)
+    xs[L] = _smooth(diag, off, gathers[L], xs[L], bs[L],
+                    sweeps=_COARSE_SWEEPS)
 
     # Upward
     for i in reversed(range(L)):
         lvl = hier.levels[i]
         diag, off = level_values[i]
         x = xs[i] + xs[i + 1][lvl.agg]
-        xs[i] = _smooth(diag, off, nghs[i], x, bs[i])
+        xs[i] = _smooth(diag, off, gathers[i], x, bs[i])
 
     return xs[0]
 
@@ -260,7 +267,7 @@ def make_pressure_solve(hier: AmgHierarchy, mesh):
 
         def pressure_solve(rhs_p):
             x0 = sys.diag_p_inv * rhs_p      # Jacobi seed, like p_sol init
-            return v_cycle(hier, level_values, mesh.ck_neighbor, rhs_p, x0)
+            return v_cycle(hier, level_values, mesh, rhs_p, x0)
 
         return pressure_solve
 

@@ -34,8 +34,9 @@ class BlockSystem:
 
 
 def block_spmv(sys: BlockSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x with x of shape (N, 3)."""
-    xg = x[mesh.ck_neighbor]                     # (N, K, 3)
+    """y = A x with x of shape (N, 3).  Neighbor access via ``mesh.gather``
+    (stencil shifts on structured meshes, one gather otherwise)."""
+    xg = mesh.gather(x)                          # (N, K, 3)
     y = jnp.einsum("nab,nb->na", sys.A_diag, x,
                    preferred_element_type=jnp.float32)
     y += jnp.einsum("nkab,nkb->na", sys.A_off, xg,
@@ -46,5 +47,5 @@ def block_spmv(sys: BlockSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
 def scalar_spmv(P_diag: jnp.ndarray, P_off: jnp.ndarray, mesh,
                 x: jnp.ndarray) -> jnp.ndarray:
     """y = P x with x of shape (N,) — the scalar pressure (Schur) operator."""
-    xg = x[mesh.ck_neighbor]                     # (N, K)
+    xg = mesh.gather(x)                          # (N, K)
     return P_diag * x + jnp.sum(P_off * xg, axis=1)

@@ -33,7 +33,7 @@ def chebyshev_pressure_solve(sys: BlockSystem, mesh, rhs_p: jnp.ndarray,
 
     def sweep(_, carry):
         x_prev, x_cur = carry
-        sigma = jnp.sum(sys.P_off * x_cur[mesh.ck_neighbor], axis=1)
+        sigma = jnp.sum(sys.P_off * mesh.gather(x_cur), axis=1)
         hat = sys.diag_p_inv * (rhs_p - sigma)
         x_new = x_prev + omega * (hat - x_prev)
         return (x_cur, x_new)
@@ -62,8 +62,8 @@ def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
     #    blocks (schur_precond.wgsl:158-181).  Note the reference computes the
     #    neighbor contribution from r (not the updated z), which is identical
     #    since z = D^{-1} r elementwise.
-    zg_u = z_u[mesh.ck_neighbor]                 # (N, K)
-    zg_v = z_v[mesh.ck_neighbor]
+    zg_u = mesh.gather(z_u)                      # (N, K)
+    zg_v = mesh.gather(z_v)
     rhs_p = r_p \
         - sys.A_diag[:, 2, 0] * z_u - sys.A_diag[:, 2, 1] * z_v \
         - jnp.sum(sys.A_off[:, :, 2, 0] * zg_u
@@ -76,7 +76,7 @@ def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
         z_p = pressure_solve(rhs_p)
 
     # 4. Correct velocity with the gradient blocks G (schur_precond.wgsl:92-139).
-    zg_p = z_p[mesh.ck_neighbor]                 # (N, K)
+    zg_p = mesh.gather(z_p)                      # (N, K)
     g_u = sys.A_diag[:, 0, 2] * z_p + jnp.sum(sys.A_off[:, :, 0, 2] * zg_p, axis=1)
     g_v = sys.A_diag[:, 1, 2] * z_p + jnp.sum(sys.A_off[:, :, 1, 2] * zg_p, axis=1)
     z_u = z_u - sys.diag_u_inv * g_u

@@ -22,10 +22,9 @@ from ..models.coupled import multi_step, step
 from ..runtime.state import SolverConfig, SolverParams, SolverState, initial_state
 
 
-def batched_initial_state(num_cells: int, num_faces: int, batch: int,
-                          u0=None, p0=None) -> SolverState:
+def batched_initial_state(mesh, batch: int, u0=None, p0=None) -> SolverState:
     """Stack B initial states along a leading batch axis."""
-    one = initial_state(num_cells, num_faces, u0=u0, p0=p0)
+    one = initial_state(mesh, u0=u0, p0=p0)
     return jax.tree.map(lambda x: jnp.broadcast_to(x, (batch,) + x.shape), one)
 
 

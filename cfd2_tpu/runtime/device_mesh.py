@@ -1,24 +1,28 @@
 """Device mesh encoding: host ``Mesh`` -> padded JAX arrays.
 
 The TPU-native replacement for the reference's GPU mesh upload + CSR build
-(reference: src/solver/gpu/init/mesh.rs:24-285).  Two complementary layouts:
+(reference: src/solver/gpu/init/mesh.rs:24-285).  Layouts:
 
-* **face-major** arrays (size F) drive the flux kernel — one lane per face,
-  gathers owner/neighbor cell values;
-* **cell-major padded** arrays (N, K) drive assembly and all matrix products —
-  each cell gathers its K face slots and reduces, so faces->cells accumulation
-  is a *gather + sum over a static axis* instead of a scatter.  This is the
-  key TPU design decision (SURVEY.md §7 "hard parts"): scatters serialize on
-  TPU, padded gathers vectorize.
+* **cell-major padded (N, K)** arrays drive assembly and all matrix products —
+  each cell reads its K face slots and reduces, so faces->cells accumulation
+  is a reduction over a static axis instead of a scatter.
+* **structured fast path**: uniform cut-cell meshes (the flagship benchmark
+  configurations) are laid out on their generating (ny, nx) grid with solid
+  cells masked out, and slots 0..3 fixed to the E/W/N/S neighbors.  Every
+  neighbor access then lowers to an array *shift* — a fused stencil on the
+  VPU — instead of an XLA gather (which runs near scalar speed on TPU and was
+  measured ~100x slower).  This is the central TPU-first design decision.
+* **generic path**: Delaunay/Voronoi/locally-refined meshes keep arbitrary
+  (N, K) neighbor indices and use gathers.
 
 The linear system lives in **block-ELL** layout keyed by the same (N, K)
-structure: a (N, K, 3, 3) off-diagonal block tensor plus a (N, 3, 3) diagonal
-block tensor (reference equivalent: the interleaved 3Nx3N block CSR built in
-init/linear_solver/mod.rs:180-216).  SpMV becomes batched einsums on the MXU.
+structure: (N, K, 3, 3) off-diagonal blocks + (N, 3, 3) diagonal blocks
+(reference equivalent: the interleaved 3Nx3N block CSR of
+init/linear_solver/mod.rs:180-216).
 
 All geometric factors (distance weights, projected distances, per-slot
 outward normals) are precomputed here in float64 and stored as float32 device
-arrays; the solver kernels are pure elementwise/gather code over them.
+arrays; the solver kernels are pure elementwise/stencil code over them.
 """
 
 from __future__ import annotations
@@ -32,25 +36,30 @@ import numpy as np
 
 from ..mesh.structs import Mesh
 
+# Structured slot convention.
+SLOT_E, SLOT_W, SLOT_N, SLOT_S = 0, 1, 2, 3
+
 
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class DeviceMesh:
     """Frozen pytree of device arrays describing one mesh."""
 
-    # --- sizes (static, not traced) ---
-    num_cells: int
+    # --- static metadata ---
+    num_cells: int                # device cell count (incl. masked solids)
     num_faces: int
-    max_faces: int
+    max_faces: int                # K
+    num_host_cells: int           # fluid cells in the host mesh
+    grid_shape: tuple | None      # (ny, nx) for the structured fast path
 
-    # --- face-major (F,) ---
-    f_owner: jnp.ndarray          # int32
+    # --- face-major (F,) — generic flux path ---
+    f_owner: jnp.ndarray          # int32 (device ids)
     f_neighbor: jnp.ndarray       # int32, -1 = boundary
-    f_neighbor_safe: jnp.ndarray  # int32, boundary -> owner (safe gather)
+    f_neighbor_safe: jnp.ndarray
     f_internal: jnp.ndarray       # bool
     f_boundary: jnp.ndarray       # int32 code (0/1/2/3)
-    f_area: jnp.ndarray           # f32
-    f_nx: jnp.ndarray             # f32, canonical: points OUT of owner
+    f_area: jnp.ndarray
+    f_nx: jnp.ndarray             # canonical: points OUT of owner
     f_ny: jnp.ndarray
     f_cx: jnp.ndarray
     f_cy: jnp.ndarray
@@ -61,29 +70,31 @@ class DeviceMesh:
     c_cx: jnp.ndarray
     c_cy: jnp.ndarray
     c_vol: jnp.ndarray
+    c_valid: jnp.ndarray          # f32: 1 fluid, 0 masked solid
+    grid_of_cell: jnp.ndarray     # (num_host_cells,) device index of host cell
 
     # --- cell-major padded (N, K) ---
     ck_face: jnp.ndarray          # int32 face index (pad: 0)
     ck_mask: jnp.ndarray          # f32 1.0 valid / 0.0 pad
     ck_sign: jnp.ndarray          # f32 +1 owner / -1 neighbor (pad: 0)
-    ck_neighbor: jnp.ndarray      # int32 adjacent cell (pad/boundary: self)
+    ck_neighbor: jnp.ndarray      # int32 adjacent device cell (pad/bdry: self)
     ck_is_boundary: jnp.ndarray   # f32 1.0 if boundary face
     ck_boundary: jnp.ndarray      # int32 boundary code
-    ck_nx: jnp.ndarray            # f32 outward normal from THIS cell
+    ck_nx: jnp.ndarray            # outward normal from THIS cell
     ck_ny: jnp.ndarray
     ck_area: jnp.ndarray
     ck_lam: jnp.ndarray           # own-side weight: d_other/(d_own+d_other)
-    ck_dist_proj: jnp.ndarray     # max(|d . n|, 1e-6), d = other - this center
+    ck_dist_proj: jnp.ndarray     # max(|d . n|, 1e-6)
     ck_dist: jnp.ndarray          # plain |other - this center|
-    ck_rx: jnp.ndarray            # f_center - this center (SOU reconstruction)
+    ck_rx: jnp.ndarray            # f_center - this center
     ck_ry: jnp.ndarray
-    ck_dcdx: jnp.ndarray          # other_center - this center (QUICK)
+    ck_dcdx: jnp.ndarray          # other_center - this center
     ck_dcdy: jnp.ndarray
 
     _dyn_fields = (
         "f_owner", "f_neighbor", "f_neighbor_safe", "f_internal", "f_boundary",
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
-        "c_cx", "c_cy", "c_vol",
+        "c_cx", "c_cy", "c_vol", "c_valid", "grid_of_cell",
         "ck_face", "ck_mask", "ck_sign", "ck_neighbor", "ck_is_boundary",
         "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_dist_proj",
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
@@ -91,17 +102,110 @@ class DeviceMesh:
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._dyn_fields)
-        aux = (self.num_cells, self.num_faces, self.max_faces)
+        aux = (self.num_cells, self.num_faces, self.max_faces,
+               self.num_host_cells, self.grid_shape)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*aux, *children)
 
+    # ------------------------------------------------------------------
+    @property
+    def structured(self) -> bool:
+        return self.grid_shape is not None
 
-def encode_mesh(mesh: Mesh, dtype=jnp.float32) -> DeviceMesh:
-    """Encode a host mesh into the padded device layout (one-time upload)."""
-    N = mesh.num_cells
+    def gather(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Neighbor values per slot: (N, ...) -> (N, K, ...).
+
+        Structured: four edge-clamped shifts of the (ny, nx) grid (clamped
+        values are always masked by zero coefficients) + self for extra
+        slots.  Generic: one gather via ck_neighbor.
+        """
+        if not self.structured:
+            return x[self.ck_neighbor]
+        ny, nx = self.grid_shape
+        tail = x.shape[1:]
+        xg = x.reshape((ny, nx) + tail)
+        e = jnp.concatenate([xg[:, 1:], xg[:, -1:]], axis=1)
+        w = jnp.concatenate([xg[:, :1], xg[:, :-1]], axis=1)
+        n = jnp.concatenate([xg[1:], xg[-1:]], axis=0)
+        s = jnp.concatenate([xg[:1], xg[:-1]], axis=0)
+        slots = [e, w, n, s] + [xg] * (self.max_faces - 4)
+        out = jnp.stack(slots, axis=2)                  # (ny, nx, K, ...)
+        return out.reshape((ny * nx, self.max_faces) + tail)
+
+    def shift_from_west(self, v: jnp.ndarray) -> jnp.ndarray:
+        """(N,) value of the west neighbor (edge-clamped)."""
+        ny, nx = self.grid_shape
+        vg = v.reshape(ny, nx)
+        return jnp.concatenate([vg[:, :1], vg[:, :-1]], axis=1).reshape(-1)
+
+    def shift_from_south(self, v: jnp.ndarray) -> jnp.ndarray:
+        ny, nx = self.grid_shape
+        vg = v.reshape(ny, nx)
+        return jnp.concatenate([vg[:1], vg[:-1]], axis=0).reshape(-1)
+
+    def slot_fluxes(self, fluxes: jnp.ndarray) -> jnp.ndarray:
+        """Per-slot *outward* mass fluxes (N, K).
+
+        Structured mode stores fluxes directly in slot layout; generic mode
+        stores one value per face (owner-outward) and signs it per side.
+        """
+        if self.structured:
+            return fluxes
+        return fluxes[self.ck_face] * self.ck_sign
+
+    def to_host_order(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Device cell field -> host mesh cell order."""
+        return x[self.grid_of_cell]
+
+    def from_host_order(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Host mesh cell field -> device layout (solids get zeros)."""
+        x = jnp.asarray(x)
+        out = jnp.zeros((self.num_cells,) + x.shape[1:], x.dtype)
+        return out.at[self.grid_of_cell].set(x)
+
+
+# ----------------------------------------------------------------------
+
+
+def _detect_uniform_grid(mesh: Mesh):
+    """Return (h, nx, ny, ix, jy) if the mesh is a uniform cut-cell grid
+    (all internal faces connect 4-adjacent grid squares), else None."""
+    if mesh.num_cells == 0:
+        return None
+    h = float(np.median(mesh.face_area))
+    if h <= 0:
+        return None
+    ix = np.floor(mesh.cell_cx / h + 1e-9).astype(np.int64)
+    jy = np.floor(mesh.cell_cy / h + 1e-9).astype(np.int64)
+    if ix.min() < 0 or jy.min() < 0:
+        return None
+    nx = int(ix.max()) + 1
+    ny = int(jy.max()) + 1
+    if nx * ny > 4 * mesh.num_cells + 64:
+        return None                      # too sparse: not a uniform grid
+    key = jy * nx + ix
+    if len(np.unique(key)) != mesh.num_cells:
+        return None
+    internal = mesh.face_neighbor >= 0
+    do = mesh.face_owner[internal]
+    dn = mesh.face_neighbor[internal]
+    dx = ix[dn] - ix[do]
+    dy = jy[dn] - jy[do]
+    if not ((np.abs(dx) + np.abs(dy)) == 1).all():
+        return None
+    return h, nx, ny, ix, jy
+
+
+def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto") -> DeviceMesh:
+    """Encode a host mesh (one-time upload).
+
+    ``structured``: "auto" picks the stencil fast path when the mesh is a
+    uniform cut-cell grid; "never" forces the generic gather path.
+    """
+    N_host = mesh.num_cells
     F = mesh.num_faces
 
     owner = mesh.face_owner.astype(np.int64)
@@ -109,100 +213,194 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32) -> DeviceMesh:
     internal = neigh >= 0
     neigh_safe = np.where(internal, neigh, owner)
 
-    # Canonicalize normals to point out of the owner cell.  Polygon winding is
-    # CCW so first-writer normals already satisfy this; assert + fix anyway.
-    dx = mesh.face_cx - mesh.cell_cx[owner]
-    dy = mesh.face_cy - mesh.cell_cy[owner]
-    flip = dx * mesh.face_nx + dy * mesh.face_ny < 0.0
+    # Canonicalize normals out of the owner cell.
+    dxn = mesh.face_cx - mesh.cell_cx[owner]
+    dyn = mesh.face_cy - mesh.cell_cy[owner]
+    flip = dxn * mesh.face_nx + dyn * mesh.face_ny < 0.0
     f_nx = np.where(flip, -mesh.face_nx, mesh.face_nx)
     f_ny = np.where(flip, -mesh.face_ny, mesh.face_ny)
 
-    # Face-level distance weights (prepare_coupled.wgsl:147-155).
-    d_own = np.hypot(mesh.cell_cx[owner] - mesh.face_cx,
-                     mesh.cell_cy[owner] - mesh.face_cy)
-    d_ngh = np.hypot(mesh.cell_cx[neigh_safe] - mesh.face_cx,
-                     mesh.cell_cy[neigh_safe] - mesh.face_cy)
-    total = d_own + d_ngh
-    lam = np.where(total > 1e-6, d_ngh / np.maximum(total, 1e-300), 0.5)
-
-    # Projected center-to-center distance along the face normal
-    # (prepare_coupled.wgsl:168-171).
-    ccx = mesh.cell_cx[neigh_safe] - mesh.cell_cx[owner]
-    ccy = mesh.cell_cy[neigh_safe] - mesh.cell_cy[owner]
-    dist_cc = np.maximum(np.abs(ccx * f_nx + ccy * f_ny), 1e-6)
+    grid = _detect_uniform_grid(mesh) if structured == "auto" else None
 
     # ------------------------------------------------------------------
-    # Cell-major padded slots.
-    counts = np.diff(mesh.cell_face_offsets)
-    K = int(counts.max())
-    slot = np.zeros((N, K), dtype=np.int64)
-    mask = np.zeros((N, K), dtype=bool)
-    cell_ids = np.repeat(np.arange(N), counts)
-    within = np.arange(len(mesh.cell_faces)) - np.repeat(
-        mesh.cell_face_offsets[:-1], counts)
-    slot[cell_ids, within] = mesh.cell_faces
-    mask[cell_ids, within] = True
+    # Device cell layout.
+    if grid is not None:
+        h, nx, ny, ixs, jys = grid
+        N_dev = nx * ny
+        dev_of_host = (jys * nx + ixs).astype(np.int64)
+        grid_shape = (ny, nx)
+    else:
+        N_dev = N_host
+        dev_of_host = np.arange(N_host, dtype=np.int64)
+        grid_shape = None
 
-    ck_face = slot
-    own_k = owner[ck_face]
-    ngh_k = neigh[ck_face]
-    this = np.arange(N)[:, None]
-    is_owner = own_k == this
-    sign = np.where(mask, np.where(is_owner, 1.0, -1.0), 0.0)
-    other = np.where(is_owner, ngh_k, own_k)          # -1 at boundary slots
-    is_bdry = mask & (other < 0)
-    other_safe = np.where(other >= 0, other, this)
-    other_safe = np.where(mask, other_safe, this)
+    host_of_dev = np.full(N_dev, -1, dtype=np.int64)
+    host_of_dev[dev_of_host] = np.arange(N_host)
+    c_valid = (host_of_dev >= 0).astype(np.float64)
+    hsafe = np.maximum(host_of_dev, 0)
 
-    ck_nx = f_nx[ck_face] * sign
-    ck_ny = f_ny[ck_face] * sign
-    ck_area = np.where(mask, mesh.face_area[ck_face], 0.0)
-    fcx_k = mesh.face_cx[ck_face]
-    fcy_k = mesh.face_cy[ck_face]
+    c_cx = np.where(c_valid > 0, mesh.cell_cx[hsafe], 0.0)
+    c_cy = np.where(c_valid > 0, mesh.cell_cy[hsafe], 0.0)
+    c_vol = np.where(c_valid > 0, mesh.cell_vol[hsafe], 1.0)
+    if grid is not None:
+        # Masked solid cells get their grid-square center (placeholder only).
+        gi = np.arange(N_dev) % nx
+        gj = np.arange(N_dev) // nx
+        c_cx = np.where(c_valid > 0, c_cx, (gi + 0.5) * h)
+        c_cy = np.where(c_valid > 0, c_cy, (gj + 0.5) * h)
 
-    this_cx = mesh.cell_cx[:, None]
-    this_cy = mesh.cell_cy[:, None]
-    # "other center": neighbor centroid, or the face center at boundaries
-    # (coupled_assembly_merged.wgsl:160-171).
-    oc_x = np.where(is_bdry, fcx_k, mesh.cell_cx[other_safe])
-    oc_y = np.where(is_bdry, fcy_k, mesh.cell_cy[other_safe])
+    # ------------------------------------------------------------------
+    # Entry list: one (face, side) pair per slot occupancy.
+    # side 0 = owner, side 1 = neighbor.
+    faces_idx = np.arange(F)
+    e_face = np.concatenate([faces_idx, faces_idx[internal]])
+    e_sign = np.concatenate([np.ones(F), -np.ones(int(internal.sum()))])
+    e_host = np.concatenate([owner, neigh[internal]])
+    e_dev = dev_of_host[e_host]
 
-    d_this = np.hypot(this_cx - fcx_k, this_cy - fcy_k)
-    d_other = np.hypot(oc_x - fcx_k, oc_y - fcy_k)
+    # Slot assignment.
+    if grid is not None:
+        this_ix = ixs[e_host]
+        this_jy = jys[e_host]
+        oth_host = np.where(e_sign > 0, neigh_safe[e_face], owner[e_face])
+        e_internal = internal[e_face]
+        # Internal: slot by grid offset; boundary: slot by outward normal.
+        dix = np.where(e_internal, ixs[oth_host] - this_ix, 0)
+        djy = np.where(e_internal, jys[oth_host] - this_jy, 0)
+        onx = f_nx[e_face] * e_sign
+        ony = f_ny[e_face] * e_sign
+        dir_slot = np.where(
+            e_internal,
+            np.select([dix == 1, dix == -1, djy == 1, djy == -1],
+                      [SLOT_E, SLOT_W, SLOT_N, SLOT_S], default=-1),
+            np.select([onx > 0.999, onx < -0.999, ony > 0.999, ony < -0.999],
+                      [SLOT_E, SLOT_W, SLOT_N, SLOT_S], default=-1))
+        # Resolve conflicts / unassigned into extra slots (vectorized).
+        n_e = len(e_face)
+        e_slot = np.full(n_e, -1, dtype=np.int64)
+        has_dir = dir_slot >= 0
+        e_bnd = ~e_internal
+        keyd = e_dev * 4 + np.where(has_dir, dir_slot, 0)
+        # Within each (cell, direction), prefer the internal face.
+        ordk = np.lexsort((e_bnd, keyd))
+        sk = keyd[ordk]
+        first = np.ones(n_e, dtype=bool)
+        first[1:] = sk[1:] != sk[:-1]
+        keep = np.zeros(n_e, dtype=bool)
+        keep[ordk] = first
+        keep &= has_dir
+        if (e_internal & has_dir & ~keep).any():
+            # Two internal faces share a direction slot: not a uniform grid.
+            return encode_mesh(mesh, dtype=dtype, structured="never")
+        if (e_internal & ~has_dir).any():
+            return encode_mesh(mesh, dtype=dtype, structured="never")
+        e_slot[keep] = dir_slot[keep]
+        # Extras: rank within cell.
+        idxe = np.nonzero(~keep)[0]
+        K_extra = 0
+        if len(idxe):
+            orde = np.argsort(e_dev[idxe], kind="stable")
+            sc = e_dev[idxe][orde]
+            change = np.ones(len(idxe), dtype=bool)
+            change[1:] = sc[1:] != sc[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(change, np.arange(len(idxe)), 0))
+            rank = np.arange(len(idxe)) - grp_start
+            e_slot[idxe[orde]] = 4 + rank
+            K_extra = int(rank.max()) + 1
+        K = 4 + K_extra
+    else:
+        # Generic: slots in the host CSR order.
+        counts = np.diff(mesh.cell_face_offsets)
+        K = int(counts.max())
+        csr_cells = np.repeat(np.arange(N_host), counts)
+        within = np.arange(len(mesh.cell_faces)) - np.repeat(
+            mesh.cell_face_offsets[:-1], counts)
+        csr_faces = mesh.cell_faces
+        csr_sign = np.where(owner[csr_faces] == csr_cells, 1.0, -1.0)
+        e_face = csr_faces
+        e_sign = csr_sign
+        e_host = csr_cells
+        e_dev = csr_cells
+        e_slot = within
+
+    # ------------------------------------------------------------------
+    # Per-entry geometry (float64), scattered into (N_dev, K).
+    fc_x = mesh.face_cx[e_face]
+    fc_y = mesh.face_cy[e_face]
+    this_cx = mesh.cell_cx[e_host]
+    this_cy = mesh.cell_cy[e_host]
+    oth_host = np.where(e_sign > 0, neigh_safe[e_face], owner[e_face])
+    e_is_b = ~internal[e_face]
+    oc_x = np.where(e_is_b, fc_x, mesh.cell_cx[oth_host])
+    oc_y = np.where(e_is_b, fc_y, mesh.cell_cy[oth_host])
+
+    nrm_x = f_nx[e_face] * e_sign
+    nrm_y = f_ny[e_face] * e_sign
+    area = mesh.face_area[e_face]
+
+    d_this = np.hypot(this_cx - fc_x, this_cy - fc_y)
+    d_other = np.hypot(oc_x - fc_x, oc_y - fc_y)
     tot = d_this + d_other
-    ck_lam = np.where(tot > 1e-6, d_other / np.maximum(tot, 1e-300), 0.5)
+    lam = np.where(tot > 1e-6, d_other / np.maximum(tot, 1e-300), 0.5)
 
     dvx = oc_x - this_cx
     dvy = oc_y - this_cy
-    ck_dist_proj = np.maximum(np.abs(dvx * ck_nx + dvy * ck_ny), 1e-6)
-    ck_dist = np.maximum(np.hypot(dvx, dvy), 1e-12)
+    dist_proj = np.maximum(np.abs(dvx * nrm_x + dvy * nrm_y), 1e-6)
+    dist = np.maximum(np.hypot(dvx, dvy), 1e-12)
+    bdry = np.where(e_is_b, mesh.face_boundary[e_face], 0)
+    ngh_dev = np.where(e_is_b, e_dev, dev_of_host[oth_host])
 
-    bdry_k = np.where(mask, mesh.face_boundary[ck_face], 0)
+    def scat(vals, fill=0.0, idtype=np.float64):
+        out = np.full((N_dev, K), fill, dtype=idtype)
+        out[e_dev, e_slot] = vals
+        return out
+
+    self_col = np.tile(np.arange(N_dev, dtype=np.int64)[:, None], (1, K))
+    ck_neighbor = self_col.copy()
+    ck_neighbor[e_dev, e_slot] = ngh_dev
+
+    mask = np.zeros((N_dev, K))
+    mask[e_dev, e_slot] = 1.0
+
+    # Face-level arrays with device ids.
+    d_own_f = np.hypot(mesh.cell_cx[owner] - mesh.face_cx,
+                       mesh.cell_cy[owner] - mesh.face_cy)
+    d_ngh_f = np.hypot(mesh.cell_cx[neigh_safe] - mesh.face_cx,
+                       mesh.cell_cy[neigh_safe] - mesh.face_cy)
+    tot_f = d_own_f + d_ngh_f
+    lam_f = np.where(tot_f > 1e-6, d_ngh_f / np.maximum(tot_f, 1e-300), 0.5)
+    ccx = mesh.cell_cx[neigh_safe] - mesh.cell_cx[owner]
+    ccy = mesh.cell_cy[neigh_safe] - mesh.cell_cy[owner]
+    dist_cc = np.maximum(np.abs(ccx * f_nx + ccy * f_ny), 1e-6)
 
     as_f = partial(jnp.asarray, dtype=dtype)
     as_i = partial(jnp.asarray, dtype=jnp.int32)
 
     return DeviceMesh(
-        num_cells=N, num_faces=F, max_faces=K,
-        f_owner=as_i(owner), f_neighbor=as_i(neigh),
-        f_neighbor_safe=as_i(neigh_safe),
+        num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
+        grid_shape=grid_shape,
+        f_owner=as_i(dev_of_host[owner]),
+        f_neighbor=as_i(np.where(internal, dev_of_host[neigh_safe], -1)),
+        f_neighbor_safe=as_i(dev_of_host[neigh_safe]),
         f_internal=jnp.asarray(internal),
         f_boundary=as_i(mesh.face_boundary),
         f_area=as_f(mesh.face_area), f_nx=as_f(f_nx), f_ny=as_f(f_ny),
         f_cx=as_f(mesh.face_cx), f_cy=as_f(mesh.face_cy),
-        f_lambda=as_f(lam), f_dist_cc=as_f(dist_cc),
-        c_cx=as_f(mesh.cell_cx), c_cy=as_f(mesh.cell_cy),
-        c_vol=as_f(mesh.cell_vol),
-        ck_face=as_i(ck_face), ck_mask=as_f(mask.astype(np.float64)),
-        ck_sign=as_f(sign), ck_neighbor=as_i(other_safe),
-        ck_is_boundary=as_f(is_bdry.astype(np.float64)),
-        ck_boundary=as_i(bdry_k),
-        ck_nx=as_f(np.where(mask, ck_nx, 0.0)),
-        ck_ny=as_f(np.where(mask, ck_ny, 0.0)),
-        ck_area=as_f(ck_area), ck_lam=as_f(ck_lam),
-        ck_dist_proj=as_f(ck_dist_proj), ck_dist=as_f(ck_dist),
-        ck_rx=as_f(np.where(mask, fcx_k - this_cx, 0.0)),
-        ck_ry=as_f(np.where(mask, fcy_k - this_cy, 0.0)),
-        ck_dcdx=as_f(np.where(mask, dvx, 0.0)),
-        ck_dcdy=as_f(np.where(mask, dvy, 0.0)),
+        f_lambda=as_f(lam_f), f_dist_cc=as_f(dist_cc),
+        c_cx=as_f(c_cx), c_cy=as_f(c_cy), c_vol=as_f(c_vol),
+        c_valid=as_f(c_valid), grid_of_cell=as_i(dev_of_host),
+        ck_face=jnp.asarray(scat(e_face, 0, np.int64).astype(np.int32)),
+        ck_mask=as_f(mask),
+        ck_sign=as_f(scat(e_sign)),
+        ck_neighbor=as_i(ck_neighbor),
+        ck_is_boundary=as_f(scat(e_is_b.astype(np.float64))),
+        ck_boundary=jnp.asarray(scat(bdry, 0, np.int64).astype(np.int32)),
+        ck_nx=as_f(scat(nrm_x)), ck_ny=as_f(scat(nrm_y)),
+        ck_area=as_f(scat(area)),
+        ck_lam=as_f(scat(lam, 0.5)),
+        ck_dist_proj=as_f(scat(dist_proj, 1.0)),
+        ck_dist=as_f(scat(dist, 1.0)),
+        ck_rx=as_f(scat(fc_x - this_cx)), ck_ry=as_f(scat(fc_y - this_cy)),
+        ck_dcdx=as_f(scat(dvx)), ck_dcdy=as_f(scat(dvy)),
     )

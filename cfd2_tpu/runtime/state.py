@@ -124,18 +124,30 @@ class SolverState:
     linear_residual: jnp.ndarray   # f32
 
 
-def initial_state(num_cells: int, num_faces: int,
-                  u0=None, p0=None, dtype=jnp.float32) -> SolverState:
-    """Build the initial state; ``initialize_history`` semantics of the
-    reference (solver.rs:276-294): history buffers = current state."""
-    N = num_cells
-    u = jnp.zeros((N, 2), dtype) if u0 is None else jnp.asarray(u0, dtype)
-    p = jnp.zeros((N,), dtype) if p0 is None else jnp.asarray(p0, dtype)
+def initial_state(mesh, u0=None, p0=None, dtype=jnp.float32,
+                  host_order: bool = True) -> SolverState:
+    """Build the initial state for a :class:`DeviceMesh`;
+    ``initialize_history`` semantics of the reference (solver.rs:276-294):
+    history buffers = current state.
+
+    ``u0``/``p0`` are given in host-mesh cell order (like the reference's
+    set_u/set_p) unless ``host_order=False``.
+    """
+    N = mesh.num_cells
+    u = jnp.zeros((N, 2), dtype)
+    p = jnp.zeros((N,), dtype)
+    if u0 is not None:
+        u0 = jnp.asarray(u0, dtype)
+        u = mesh.from_host_order(u0) if host_order else u0
+    if p0 is not None:
+        p0 = jnp.asarray(p0, dtype)
+        p = mesh.from_host_order(p0) if host_order else p0
     z = jnp.zeros((N,), dtype)
     z2 = jnp.zeros((N, 2), dtype)
+    flux_shape = (N, mesh.max_faces) if mesh.structured else (mesh.num_faces,)
     return SolverState(
         u=u, p=p, d_p=z, grad_p=z2, grad_u=z2, grad_v=z2,
-        fluxes=jnp.zeros((num_faces,), dtype),
+        fluxes=jnp.zeros(flux_shape, dtype),
         u_old=u, u_old_old=u, time=jnp.asarray(0.0, dtype),
         prev_u=u, degenerate_count=jnp.asarray(0, jnp.int32),
         steady_count=jnp.asarray(0, jnp.int32),

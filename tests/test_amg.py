@@ -46,8 +46,7 @@ def test_v_cycle_reduces_residual(bstep_mesh):
     dm = encode_mesh(bstep_mesh)
     config = SolverConfig()
     params = SolverParams.default(dt=0.001)
-    state = initial_state(dm.num_cells, dm.num_faces,
-                          u0=np.full((dm.num_cells, 2), [0.1, 0.0]))
+    state = initial_state(dm, u0=np.full((dm.num_host_cells, 2), [0.1, 0.0]))
     state = prepare(dm, state, params, config)
     sys = assemble_coupled(dm, state, params, config)
     hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask))

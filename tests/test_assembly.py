@@ -21,8 +21,7 @@ def setup():
     dm = encode_mesh(mesh)
     config = SolverConfig()
     params = SolverParams.default(dt=0.001)
-    state = initial_state(dm.num_cells, dm.num_faces,
-                          u0=np.full((dm.num_cells, 2), [0.1, 0.0]))
+    state = initial_state(dm, u0=np.full((dm.num_host_cells, 2), [0.1, 0.0]))
     state = prepare(dm, state, params, config)
     sys = assemble_coupled(dm, state, params, config)
     return dm, sys

@@ -44,9 +44,8 @@ def test_device_mesh_encoding(mesh):
 
 def test_checkpoint_roundtrip(tmp_path, mesh):
     dm = encode_mesh(mesh)
-    state = initial_state(dm.num_cells, dm.num_faces,
-                          u0=np.random.default_rng(0).standard_normal(
-                              (dm.num_cells, 2)))
+    state = initial_state(dm, u0=np.random.default_rng(0).standard_normal(
+        (dm.num_host_cells, 2)))
     params = SolverParams.default(dt=0.042)
     path = os.path.join(tmp_path, "ckpt.npz")
     save_checkpoint(path, state, params)
@@ -80,7 +79,7 @@ def test_renderer(tmp_path, mesh):
     assert np.allclose(rainbow_colormap(np.array(1.0)), [1, 0, 0])
 
     dm = encode_mesh(mesh)
-    state = initial_state(dm.num_cells, dm.num_faces)
+    state = initial_state(dm)
     r = FieldRenderer(mesh)
     out = os.path.join(tmp_path, "frame.png")
     r.render(state, mode="mag", path=out)
