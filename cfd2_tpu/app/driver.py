@@ -1,0 +1,159 @@
+"""Simulation driver — the headless equivalent of the reference app loop.
+
+The reference spawns a solver thread that steps, reads fields, applies an
+adaptive CFL timestep (growth-limited), publishes state for rendering, and
+stops on divergence/steady state (ui/app.rs:852-948).  Here the same loop
+exists in two flavors:
+
+* :meth:`Simulation.run` — host loop with per-step callbacks (snapshots,
+  rendering, adaptive dt), matching the reference semantics step-for-step;
+* :meth:`Simulation.run_scanned` — the TPU-native fast path: N steps fused
+  under one ``lax.scan`` with on-device adaptive dt, zero host round-trips.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..mesh import (
+    BackwardsStep,
+    ChannelWithObstacle,
+    RectangularChannel,
+    generate_cut_cell_mesh,
+    generate_delaunay_mesh,
+    generate_voronoi_mesh,
+)
+from ..models.coupled import CoupledSolver, multi_step_adaptive
+from ..runtime.profiling import ProfileCategory, ProfilingStats
+from .fluids import Fluid
+
+
+@dataclass
+class AdaptiveDtController:
+    """CFL-targeted adaptive timestep (reference ui/app.rs:878-909):
+    dt = clamp(cfl * min_cell / max_vel, 1e-5, 0.1), growth <= 1.2x."""
+    target_cfl: float = 0.5
+    min_cell_size: float = 0.05
+    dt_min: float = 1e-5
+    dt_max: float = 0.1
+    growth: float = 1.2
+
+    def next_dt(self, dt: float, max_vel: float) -> float:
+        if max_vel <= 1e-6:
+            return dt
+        ideal = self.target_cfl * self.min_cell_size / max_vel
+        return float(np.clip(min(ideal, dt * self.growth),
+                             self.dt_min, self.dt_max))
+
+
+_GEOMETRIES = {
+    "channel": lambda: (ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2),
+                        (3.0, 1.0)),
+    "backstep": lambda: (BackwardsStep(3.5, 0.5, 1.0, 0.5), (3.5, 1.0)),
+    "rect": lambda: (RectangularChannel(3.0, 1.0), (3.0, 1.0)),
+}
+
+_GENERATORS = {
+    "cutcell": generate_cut_cell_mesh,
+    "delaunay": generate_delaunay_mesh,
+    "voronoi": generate_voronoi_mesh,
+}
+
+
+@dataclass
+class Simulation:
+    """End-to-end case setup + run loop (the reference's init_solver + solver
+    thread, ui/app.rs:301-393,852-948)."""
+    geometry: str = "channel"
+    mesh_type: str = "cutcell"
+    cell_size: float = 0.02
+    fluid: Fluid = field(default_factory=lambda: Fluid.by_name("Custom"))
+    inlet_velocity: float = 1.0
+    ramp_time: float = 0.1
+    scheme: int = 0
+    time_scheme: int = 0
+    precond: int = 0
+    alpha_u: float = 0.7
+    alpha_p: float = 1.0
+    dt0: float = 1e-3
+    adaptive: bool = True
+    target_cfl: float = 0.5
+
+    def __post_init__(self):
+        geo, domain = _GEOMETRIES[self.geometry]()
+        self.geo = geo
+        self.domain = domain
+        gen = _GENERATORS[self.mesh_type]
+        self.mesh = gen(geo, self.cell_size, self.cell_size, 1.2, domain)
+        if self.mesh_type != "voronoi":
+            self.mesh.smooth(geo, 0.3, 50)
+
+        self.solver = CoupledSolver(self.mesh)
+        s = self.solver
+        s.set_dt(self.dt0)
+        s.set_density(self.fluid.density)
+        s.set_viscosity(self.fluid.viscosity)
+        s.set_alpha_u(self.alpha_u)
+        s.set_alpha_p(self.alpha_p)
+        s.set_inlet_velocity(self.inlet_velocity)
+        s.set_ramp_time(self.ramp_time)
+        s.set_scheme(self.scheme)
+        s.set_time_scheme(self.time_scheme)
+        s.set_precond_type(self.precond)
+        # Initial condition: inlet-column impulse like the reference tests.
+        u0 = np.zeros((self.mesh.num_cells, 2))
+        u0[self.mesh.cell_cx < self.cell_size * 2, 0] = self.inlet_velocity
+        s.set_u(u0)
+
+        self.controller = AdaptiveDtController(
+            target_cfl=self.target_cfl, min_cell_size=self.cell_size)
+        self.profiling = ProfilingStats()
+
+    @property
+    def reynolds(self) -> float:
+        return self.fluid.reynolds(self.inlet_velocity, self.domain[1])
+
+    def run(self, num_steps: int, snapshot_every: int = 0,
+            on_snapshot=None, verbose: bool = False):
+        """Host loop with adaptive dt and optional snapshot callback."""
+        s = self.solver
+        with self.profiling.session():
+            for i in range(num_steps):
+                if self.adaptive:
+                    with self.profiling.scope("get_u(adaptive_dt)",
+                                              ProfileCategory.DEVICE_READ,
+                                              s.mesh.num_cells * 8):
+                        max_vel = float(np.linalg.norm(s.get_u(), axis=1).max())
+                    s.set_dt(self.controller.next_dt(float(s.params.dt),
+                                                     max_vel))
+                with self.profiling.scope("step",
+                                          ProfileCategory.DEVICE_DISPATCH):
+                    s.step()
+                self.profiling.increment_iteration()
+                if verbose and i % 10 == 0:
+                    print(f"step {i}: t={float(s.state.time):.4f} "
+                          f"dt={float(s.params.dt):.2e} "
+                          f"outer={int(s.state.outer_iters)}")
+                if snapshot_every and on_snapshot and i % snapshot_every == 0:
+                    on_snapshot(i, s)
+                if s.should_stop:
+                    if verbose:
+                        print(f"solver stopped at step {i} "
+                              f"(degenerate={s.degenerate_count}, "
+                              f"steady={s.steady_state_count})")
+                    break
+        return s
+
+    def run_scanned(self, num_steps: int):
+        """TPU-native run: everything under lax.scan, on-device adaptive dt."""
+        s = self.solver
+        state, params, metrics = multi_step_adaptive(
+            s.mesh, s.state, s.params, s.config, num_steps,
+            target_cfl=self.target_cfl, min_cell_size=self.cell_size)
+        s.state = state
+        s.params = params
+        import jax
+        return jax.tree.map(np.asarray, metrics)

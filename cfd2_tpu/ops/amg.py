@@ -103,9 +103,15 @@ def _adjacency_from_ell(ngh: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
     return out
 
 
-def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray) -> AmgHierarchy:
+def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
+                    c_valid: np.ndarray | None = None) -> AmgHierarchy:
     """Build the static AMG hierarchy from the fine pressure sparsity pattern
-    (the mesh's cell adjacency)."""
+    (the mesh's cell adjacency).
+
+    Masked solid cells of the structured layout (``c_valid == 0``) are inert
+    identity rows; they are pooled into one decoupled aggregate at the first
+    coarsening so they do not pollute the hierarchy.
+    """
     n0 = ck_neighbor.shape[0]
     # Level 0 adjacency (list of neighbor arrays per cell).
     adj = _adjacency_from_ell(np.asarray(ck_neighbor),
@@ -114,11 +120,22 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray) -> AmgHierarch
     fine_ngh = np.asarray(ck_neighbor, dtype=np.int64)
     fine_mask = np.asarray(ck_mask) > 0
     n = n0
+    invalid = (np.asarray(c_valid) <= 0) if c_valid is not None else None
 
     for _level in range(_MAX_LEVELS):
         if n <= _MIN_COARSE:
             break
         agg, nc = _greedy_aggregate(adj)
+        if invalid is not None and invalid.any():
+            # Remap all solid cells into a single trash aggregate.
+            keep = np.unique(agg[~invalid])
+            remap = np.full(nc, len(keep), dtype=np.int64)
+            remap[keep] = np.arange(len(keep))
+            agg = remap[agg]
+            trash = len(keep)
+            agg[invalid] = trash
+            nc = len(keep) + 1
+            invalid = None  # only at the first coarsening
         if nc >= n:
             break
 
@@ -277,7 +294,8 @@ def make_pressure_solve(hier: AmgHierarchy, mesh):
 def amg_pressure_solve_factory(solver):
     """Build (and cache) the AMG factory for a CoupledSolver instance."""
     hier = build_hierarchy(np.asarray(solver.mesh.ck_neighbor),
-                           np.asarray(solver.mesh.ck_mask))
+                           np.asarray(solver.mesh.ck_mask),
+                           np.asarray(solver.mesh.c_valid))
     if not hier.levels:
         return None   # mesh too small; fall back to Chebyshev
     return make_pressure_solve(hier, solver.mesh)

@@ -32,7 +32,8 @@ def bstep_mesh():
 
 def test_hierarchy_structure(bstep_mesh):
     dm = encode_mesh(bstep_mesh)
-    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask))
+    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask),
+                           np.asarray(dm.c_valid))
     assert len(hier.levels) >= 2
     sizes = [lvl.n for lvl in hier.levels]
     assert sizes == sorted(sizes, reverse=True)
@@ -49,7 +50,8 @@ def test_v_cycle_reduces_residual(bstep_mesh):
     state = initial_state(dm, u0=np.full((dm.num_host_cells, 2), [0.1, 0.0]))
     state = prepare(dm, state, params, config)
     sys = assemble_coupled(dm, state, params, config)
-    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask))
+    hier = build_hierarchy(np.asarray(dm.ck_neighbor), np.asarray(dm.ck_mask),
+                           np.asarray(dm.c_valid))
     lv = compute_level_values(hier, sys.P_diag, sys.P_off)
 
     rng = np.random.default_rng(0)
@@ -58,7 +60,7 @@ def test_v_cycle_reduces_residual(bstep_mesh):
     x = jnp.where(jnp.abs(sys.P_diag) > 1e-30, b / sys.P_diag, 0.0)
     residuals = []
     for _ in range(5):
-        x = v_cycle(hier, lv, dm.ck_neighbor, b, x)
+        x = v_cycle(hier, lv, dm, b, x)
         r = b - scalar_spmv(sys.P_diag, sys.P_off, dm, x)
         residuals.append(float(jnp.linalg.norm(r)) / bn)
     assert residuals[-1] < 0.5          # monotone contraction

@@ -74,9 +74,11 @@ def test_scalar_pressure_row_sums(setup):
     dm, sys = setup
     x = jnp.ones((dm.num_cells,), jnp.float32)
     row_sums = np.asarray(scalar_spmv(sys.P_diag, sys.P_off, dm, x))
-    touches_outlet = np.asarray(
-        jnp.max((dm.ck_boundary == 2) * dm.ck_mask, axis=1)) > 0
-    assert np.abs(row_sums[~touches_outlet]).max() < 1e-3 * np.abs(
+    valid = np.asarray(dm.c_valid) > 0   # skip masked solid identity rows
+    touches_outlet = (np.asarray(
+        jnp.max((dm.ck_boundary == 2) * dm.ck_mask, axis=1)) > 0) & valid
+    interior = valid & ~touches_outlet
+    assert np.abs(row_sums[interior]).max() < 1e-3 * np.abs(
         np.asarray(sys.P_diag)).max()
     assert (row_sums[touches_outlet] > 0).all()
 

@@ -22,7 +22,9 @@ def mesh():
 
 def test_device_mesh_encoding(mesh):
     dm = encode_mesh(mesh)
-    assert dm.num_cells == mesh.num_cells
+    assert dm.num_host_cells == mesh.num_cells
+    assert dm.num_cells >= mesh.num_cells    # structured layout pads solids
+    assert int(np.asarray(dm.c_valid).sum()) == mesh.num_cells
     assert dm.num_faces == mesh.num_faces
     # Every valid slot's sign is +-1; padding slots are 0.
     sign = np.asarray(dm.ck_sign)
