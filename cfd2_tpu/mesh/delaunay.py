@@ -28,7 +28,17 @@ def _poisson_disk(geo: Geometry, boundary_points: np.ndarray,
                   min_cell_size: float, max_cell_size: float,
                   growth_rate: float, domain_size, seed: int = 0) -> np.ndarray:
     """Variable-radius Bridson sampling (reference delaunay.rs:200-334):
-    r(p) = min(min_size + (rate-1)*|sdf(p)|, max_size), k=30 candidates."""
+    r(p) = min(min_size + (rate-1)*|sdf(p)|, max_size), k=30 candidates.
+
+    Uses the native C++ kernel when available (pure-Python fallback below)."""
+    from . import native
+    if native.available(geo):
+        pts = native.poisson_disk(geo, boundary_points, min_cell_size,
+                                  max_cell_size, growth_rate, domain_size,
+                                  seed)
+        if pts is not None:
+            return pts
+
     rng = np.random.default_rng(seed)
     r_min = min_cell_size
     cell = r_min / np.sqrt(2.0)

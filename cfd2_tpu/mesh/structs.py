@@ -158,7 +158,9 @@ class Mesh:
 
     def smooth(self, geo, target_skew: float, max_iterations: int) -> None:
         """Laplacian smoothing with SDF re-projection of boundary vertices and
-        domain-box pinning (reference structs.rs:159-292), vectorized."""
+        domain-box pinning (reference structs.rs:159-292).  Uses the native
+        C++/OpenMP kernel when available (batches of iterations between
+        skewness checks), else the vectorized NumPy path."""
         n = self.num_vertices
         if n == 0:
             return
@@ -174,6 +176,25 @@ class Mesh:
         )
         movable = (~on_box) & (counts > 0)
         alpha = 0.5  # relaxation (structs.rs:243)
+
+        from . import native
+        if native.available(geo):
+            batch = 5
+            done = 0
+            vx = np.ascontiguousarray(self.vx, dtype=np.float64)
+            vy = np.ascontiguousarray(self.vy, dtype=np.float64)
+            while done < max_iterations:
+                self.vx, self.vy = vx, vy
+                self.recalculate_geometry()
+                if self.calculate_max_skewness() < target_skew:
+                    return
+                native.smooth(geo, vx, vy, offsets, adj, self.v_fixed,
+                              on_box, min(batch, max_iterations - done),
+                              alpha)
+                done += batch
+            self.vx, self.vy = vx, vy
+            self.recalculate_geometry()
+            return
 
         for it in range(max_iterations):
             self.recalculate_geometry()
