@@ -69,6 +69,11 @@ def _load():
         ctypes.c_double, ctypes.c_double, ctypes.c_uint64,
         ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
     ]
+    lib.meshkern_amg_aggregate.restype = ctypes.c_int64
+    lib.meshkern_amg_aggregate.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.meshkern_smooth.restype = None
     lib.meshkern_smooth.argtypes = [
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
@@ -90,6 +95,22 @@ def available(geo=None) -> bool:
 
 def _dptr(a):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def amg_aggregate(ell_ngh: np.ndarray, mask: np.ndarray):
+    """Native greedy aggregation; returns (agg, num) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n, k = ell_ngh.shape
+    ngh = np.ascontiguousarray(ell_ngh, dtype=np.int32)
+    m8 = np.ascontiguousarray(mask, dtype=np.uint8)
+    agg = np.empty(n, dtype=np.int64)
+    num = lib.meshkern_amg_aggregate(
+        ngh.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        m8.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, k, agg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)))
+    return agg, int(num)
 
 
 def poisson_disk(geo, boundary: np.ndarray, min_cell: float, max_cell: float,

@@ -85,10 +85,14 @@ def check_evolution(state: SolverState, config: SolverConfig,
                    steady_count=steady, should_stop=stop)
 
 
-@partial(jax.jit, static_argnames=("config", "pressure_solve_factory"))
+@partial(jax.jit, static_argnames=("config",))
 def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
-         config: SolverConfig, pressure_solve_factory=None) -> SolverState:
-    """Advance one timestep (reference GpuSolver::step -> step_coupled)."""
+         config: SolverConfig, amg=None) -> SolverState:
+    """Advance one timestep (reference GpuSolver::step -> step_coupled).
+
+    ``amg``: optional AmgHierarchy pytree (passed as a dynamic argument so its
+    index arrays are jit inputs, not embedded constants) used when
+    ``config.precond_type == PRECOND_AMG``."""
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
 
     # History rotation (coupled_solver.rs:43-71).
@@ -117,8 +121,11 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                              lambda s: s, state)
 
         sys = assemble_coupled(mesh, state, params, config)
-        pressure_solve = (pressure_solve_factory(sys)
-                          if pressure_solve_factory is not None else None)
+        if config.precond_type == PRECOND_AMG and amg is not None:
+            from ..ops.amg import make_pressure_solve
+            pressure_solve = make_pressure_solve(amg, mesh, sys)
+        else:
+            pressure_solve = None
         result = _solve_linear(mesh, sys, state, config, n_sweeps,
                                pressure_solve)
 
@@ -153,14 +160,14 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 
 @partial(jax.jit, static_argnames=("config", "num_steps"))
 def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
-               config: SolverConfig, num_steps: int):
+               config: SolverConfig, num_steps: int, amg=None):
     """Run N steps under one lax.scan — the zero-host-round-trip time loop.
 
     Returns (final_state, per-step metrics dict).
     """
     def body(carry, _):
         state, params = carry
-        state = step(mesh, state, params, config)
+        state = step(mesh, state, params, config, amg)
         metrics = {
             "time": state.time,
             "outer_iters": state.outer_iters,
@@ -181,7 +188,7 @@ def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
                         params: SolverParams, config: SolverConfig,
                         num_steps: int, target_cfl: float = 0.5,
-                        min_cell_size: float = 0.05):
+                        min_cell_size: float = 0.05, amg=None):
     """N adaptive-dt steps under lax.scan: the on-device equivalent of the
     reference app's host-side CFL controller (ui/app.rs:878-909)."""
     def body(carry, _):
@@ -192,7 +199,7 @@ def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
         new_dt = jnp.minimum(new_dt, params.dt * 1.2)   # growth limit
         new_dt = jnp.where(max_vel > 1e-6, new_dt, params.dt)
         params = replace(params, dt_old=params.dt, dt=new_dt)
-        state = step(mesh, state, params, config)
+        state = step(mesh, state, params, config, amg)
         metrics = {"time": state.time, "dt": params.dt, "max_vel": max_vel,
                    "outer_iters": state.outer_iters,
                    "should_stop": state.should_stop}
@@ -276,22 +283,23 @@ class CoupledSolver:
         return np.asarray(self.mesh.to_host_order(self.state.d_p))
 
     # --- stepping ---
-    def _pressure_solve_factory(self):
-        if self.config.precond_type == PRECOND_AMG:
-            from ..ops.amg import amg_pressure_solve_factory
-            if self._amg is None:
-                self._amg = amg_pressure_solve_factory(self)
-            return self._amg
-        return None
+    def _get_amg(self):
+        if self.config.precond_type != PRECOND_AMG:
+            return None
+        if self._amg is None:
+            from ..ops.amg import build_hierarchy_for_mesh
+            self._amg = build_hierarchy_for_mesh(self.mesh)
+        return self._amg
 
     def step(self):
         self.state = step(self.mesh, self.state, self.params, self.config,
-                          self._pressure_solve_factory())
+                          self._get_amg())
 
     def run(self, num_steps: int):
         """Run N steps in one scan; returns per-step metrics (host arrays)."""
         self.state, metrics = multi_step(self.mesh, self.state, self.params,
-                                         self.config, num_steps)
+                                         self.config, num_steps,
+                                         self._get_amg())
         return jax.tree.map(np.asarray, metrics)
 
     # --- status (reference structs.rs should_stop / counters) ---

@@ -76,58 +76,56 @@ class AmgHierarchy:
 # Host-side setup
 
 
-def _greedy_aggregate(adj: list[np.ndarray]) -> tuple[np.ndarray, int]:
-    """Reference greedy aggregation (amg.rs:84-116): each unaggregated cell
-    seeds an aggregate and absorbs its unaggregated neighbors."""
-    n = len(adj)
+def _aggregate_ell(ngh: np.ndarray, mask: np.ndarray) -> tuple[np.ndarray, int]:
+    """Greedy aggregation over an ELL adjacency (reference amg.rs:84-116):
+    each unaggregated cell seeds an aggregate and absorbs its unaggregated
+    neighbors.  Uses the native C++ kernel when available (the scan is
+    inherently sequential)."""
+    from ..mesh import native
+    res = native.amg_aggregate(ngh, mask)
+    if res is not None:
+        return res
+    n, k = ngh.shape
     agg = np.full(n, -1, dtype=np.int64)
     num = 0
     for i in range(n):
         if agg[i] >= 0:
             continue
         agg[i] = num
-        for j in adj[i]:
-            if agg[j] < 0:
+        for s in range(k):
+            j = ngh[i, s]
+            if mask[i, s] and j != i and agg[j] < 0:
                 agg[j] = num
         num += 1
     return agg, num
 
 
-def _adjacency_from_ell(ngh: np.ndarray, mask: np.ndarray) -> list[np.ndarray]:
-    n = ngh.shape[0]
-    out = []
-    for i in range(n):
-        nb = ngh[i][mask[i]]
-        nb = nb[nb != i]
-        out.append(np.unique(nb))
-    return out
-
-
 def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
                     c_valid: np.ndarray | None = None) -> AmgHierarchy:
     """Build the static AMG hierarchy from the fine pressure sparsity pattern
-    (the mesh's cell adjacency).
+    (the mesh's cell adjacency).  Fully vectorized except the (native) greedy
+    scan; scales to multi-million-cell meshes.
 
     Masked solid cells of the structured layout (``c_valid == 0``) are inert
     identity rows; they are pooled into one decoupled aggregate at the first
     coarsening so they do not pollute the hierarchy.
     """
-    n0 = ck_neighbor.shape[0]
-    # Level 0 adjacency (list of neighbor arrays per cell).
-    adj = _adjacency_from_ell(np.asarray(ck_neighbor),
-                              np.asarray(ck_mask) > 0)
     levels: list[AmgLevel] = []
-    fine_ngh = np.asarray(ck_neighbor, dtype=np.int64)
-    fine_mask = np.asarray(ck_mask) > 0
-    n = n0
+    ngh = np.asarray(ck_neighbor, dtype=np.int64)
+    n = ngh.shape[0]
+    mask = (np.asarray(ck_mask) > 0) & (ngh != np.arange(n)[:, None])
     invalid = (np.asarray(c_valid) <= 0) if c_valid is not None else None
 
     for _level in range(_MAX_LEVELS):
+        n, kf = ngh.shape
         if n <= _MIN_COARSE:
             break
-        agg, nc = _greedy_aggregate(adj)
+        agg, nc = _aggregate_ell(ngh, mask)
+        trash = -1
         if invalid is not None and invalid.any():
-            # Remap all solid cells into a single trash aggregate.
+            # Remap all solid cells into a single trash aggregate.  It gets
+            # no restriction members (solid identity-row residuals are zero by
+            # construction) so the padded members matrix stays small.
             keep = np.unique(agg[~invalid])
             remap = np.full(nc, len(keep), dtype=np.int64)
             remap[keep] = np.arange(len(keep))
@@ -135,60 +133,58 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
             trash = len(keep)
             agg[invalid] = trash
             nc = len(keep) + 1
-            invalid = None  # only at the first coarsening
+        invalid = None  # only relevant at the first coarsening
         if nc >= n:
             break
 
-        # Coarse adjacency from fine edges.
-        coarse_sets = [set() for _ in range(nc)]
-        for i in range(n):
-            ai = agg[i]
-            for j in adj[i]:
-                aj = agg[j]
-                if aj != ai:
-                    coarse_sets[ai].add(aj)
-        coarse_adj = [np.array(sorted(s), dtype=np.int64) for s in coarse_sets]
-        kc = max((len(s) for s in coarse_adj), default=1)
-        kc = max(kc, 1)
+        # Coarse adjacency from fine edges (vectorized).
+        fi = np.repeat(np.arange(n), kf)
+        fj = ngh.ravel()
+        fv = mask.ravel()
+        a_i = agg[fi]
+        a_j = agg[fj]
+        cross = fv & (a_i != a_j)
+        pair = a_i[cross] * nc + a_j[cross]
+        uniq_pairs = np.unique(pair)
+        pci = uniq_pairs // nc
+        pcj = uniq_pairs % nc
+        counts_row = np.bincount(pci, minlength=nc)
+        kc = max(int(counts_row.max()) if len(uniq_pairs) else 0, 1)
+        row_start = np.zeros(nc + 1, dtype=np.int64)
+        np.cumsum(counts_row, out=row_start[1:])
+        slot = np.arange(len(uniq_pairs)) - row_start[pci]
         coarse_ngh = np.tile(np.arange(nc, dtype=np.int64)[:, None], (1, kc))
         coarse_mask = np.zeros((nc, kc), dtype=bool)
-        for c, nb in enumerate(coarse_adj):
-            coarse_ngh[c, :len(nb)] = nb
-            coarse_mask[c, :len(nb)] = True
+        coarse_ngh[pci, slot] = pcj
+        coarse_mask[pci, slot] = True
 
-        # Slot lookup for coarse off-diagonal entries.
-        slot_of = [{int(j): kk for kk, j in enumerate(coarse_adj[c])}
-                   for c in range(nc)]
-
-        # RAP index map: flattened fine values [diag(n); off(n*k)] -> coarse
+        # RAP index map: flattened fine values [diag(n); off(n*kf)] -> coarse
         # flattened slots [c*(kc+1) + 0 (diag) | 1+slot]; dump slot at end.
-        kf = fine_ngh.shape[1]
         dump = nc * (kc + 1)
         targets = np.full(n + n * kf, dump, dtype=np.int64)
-        targets[:n] = agg * (kc + 1)                       # fine diag -> coarse diag
-        fi = np.repeat(np.arange(n), kf)
-        fk = fine_ngh.ravel()
-        fvalid = fine_mask.ravel() & (fk != fi)
-        a_i = agg[fi]
-        a_j = agg[fk]
+        targets[:n] = agg * (kc + 1)
         flat_idx = np.arange(n * kf) + n
-        same = a_i == a_j
-        targets[flat_idx[fvalid & same]] = a_i[fvalid & same] * (kc + 1)
-        cross = fvalid & ~same
-        for t, ai, aj in zip(flat_idx[cross], a_i[cross], a_j[cross]):
-            targets[t] = ai * (kc + 1) + 1 + slot_of[ai][int(aj)]
+        vsame = fv & (a_i == a_j)
+        targets[flat_idx[vsame]] = a_i[vsame] * (kc + 1)
+        pos = np.searchsorted(uniq_pairs, a_i[cross] * nc + a_j[cross])
+        targets[flat_idx[cross]] = a_i[cross] * (kc + 1) + 1 + slot[pos]
 
-        # Restriction member lists (piecewise-constant R = P^T).
-        counts = np.bincount(agg, minlength=nc)
-        m = int(counts.max())
+        # Restriction member lists (piecewise-constant R = P^T), vectorized.
+        # The trash aggregate (solid cells) is excluded: padding the matrix
+        # to its size would be enormous and its residuals are identically 0.
+        member_cells = (np.nonzero(agg != trash)[0] if trash >= 0
+                        else np.arange(n))
+        magg = agg[member_cells]
+        order = member_cells[np.argsort(magg, kind="stable")]
+        counts_m = np.bincount(agg[order], minlength=nc)
+        m = max(int(counts_m.max()), 1)
+        mem_start = np.zeros(nc + 1, dtype=np.int64)
+        np.cumsum(counts_m, out=mem_start[1:])
+        within = np.arange(len(order)) - mem_start[agg[order]]
         members = np.zeros((nc, m), dtype=np.int64)
         members_mask = np.zeros((nc, m), dtype=np.float64)
-        fill = np.zeros(nc, dtype=np.int64)
-        for i in range(n):
-            a = agg[i]
-            members[a, fill[a]] = i
-            members_mask[a, fill[a]] = 1.0
-            fill[a] += 1
+        members[agg[order], within] = order
+        members_mask[agg[order], within] = 1.0
 
         levels.append(AmgLevel(
             n=nc, k=kc,
@@ -199,10 +195,8 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
             members_mask=jnp.asarray(members_mask, jnp.float32),
         ))
 
-        adj = coarse_adj
-        fine_ngh = coarse_ngh
-        fine_mask = coarse_mask
-        n = nc
+        ngh = coarse_ngh
+        mask = coarse_mask
 
     return AmgHierarchy(levels=tuple(levels))
 
@@ -276,26 +270,26 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     return xs[0]
 
 
-def make_pressure_solve(hier: AmgHierarchy, mesh):
-    """Return a factory(sys) -> pressure_solve(rhs_p) closure for the Schur
-    preconditioner (the AMG path of coupled_solver_fgmres.rs:1942-1946)."""
-    def factory(sys: BlockSystem):
-        level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+def make_pressure_solve(hier: AmgHierarchy, mesh, sys: BlockSystem):
+    """pressure_solve(rhs_p) closure for the Schur preconditioner (the AMG
+    path of coupled_solver_fgmres.rs:1942-1946).
 
-        def pressure_solve(rhs_p):
-            x0 = sys.diag_p_inv * rhs_p      # Jacobi seed, like p_sol init
-            return v_cycle(hier, level_values, mesh, rhs_p, x0)
+    ``hier`` must reach the jitted computation as an *argument* pytree, never
+    a Python closure constant — its index arrays would otherwise be embedded
+    in the HLO as literals (huge programs; breaks remote compilation).
+    """
+    level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
 
-        return pressure_solve
+    def pressure_solve(rhs_p):
+        x0 = sys.diag_p_inv * rhs_p          # Jacobi seed, like p_sol init
+        return v_cycle(hier, level_values, mesh, rhs_p, x0)
 
-    return factory
+    return pressure_solve
 
 
-def amg_pressure_solve_factory(solver):
-    """Build (and cache) the AMG factory for a CoupledSolver instance."""
-    hier = build_hierarchy(np.asarray(solver.mesh.ck_neighbor),
-                           np.asarray(solver.mesh.ck_mask),
-                           np.asarray(solver.mesh.c_valid))
-    if not hier.levels:
-        return None   # mesh too small; fall back to Chebyshev
-    return make_pressure_solve(hier, solver.mesh)
+def build_hierarchy_for_mesh(mesh) -> AmgHierarchy | None:
+    """Build the hierarchy for a DeviceMesh (None if the mesh is too small)."""
+    hier = build_hierarchy(np.asarray(mesh.ck_neighbor),
+                           np.asarray(mesh.ck_mask),
+                           np.asarray(mesh.c_valid))
+    return hier if hier.levels else None

@@ -233,4 +233,28 @@ void meshkern_smooth(
     }
 }
 
+// ---------------------------------------------------------------------------
+// Greedy AMG aggregation over an ELL adjacency (reference amg.rs:84-116).
+// ell_ngh: (n, k) neighbor ids (self = no edge), mask: (n, k) validity.
+// agg_out: (n).  Returns the number of aggregates.
+
+int64_t meshkern_amg_aggregate(
+    const int32_t* ell_ngh, const uint8_t* mask,
+    int64_t n, int64_t k, int64_t* agg_out) {
+    for (int64_t i = 0; i < n; ++i) agg_out[i] = -1;
+    int64_t num = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg_out[i] >= 0) continue;
+        agg_out[i] = num;
+        const int32_t* row = ell_ngh + i * k;
+        const uint8_t* mrow = mask + i * k;
+        for (int64_t s = 0; s < k; ++s) {
+            int64_t j = row[s];
+            if (mrow[s] && j != i && agg_out[j] < 0) agg_out[j] = num;
+        }
+        ++num;
+    }
+    return num;
+}
+
 }  // extern "C"
