@@ -31,6 +31,7 @@ def main():
     min_cell = float(os.environ.get("BENCH_MIN_CELL", "0.004"))
     steps = int(os.environ.get("BENCH_STEPS", "10"))
     dt = float(os.environ.get("BENCH_DT", "0.002"))
+    precond = int(os.environ.get("BENCH_PRECOND", "1"))  # 1 = AMG (default)
 
     from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
     from cfd2_tpu.models.coupled import CoupledSolver
@@ -49,6 +50,7 @@ def main():
     s.set_dt(dt)
     s.set_viscosity(0.01)
     s.set_density(1.0)
+    s.set_precond_type(precond)
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)

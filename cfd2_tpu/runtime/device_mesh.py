@@ -199,11 +199,14 @@ def _detect_uniform_grid(mesh: Mesh):
     return h, nx, ny, ix, jy
 
 
-def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto") -> DeviceMesh:
+def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
+                pad_rows_to: int = 1) -> DeviceMesh:
     """Encode a host mesh (one-time upload).
 
     ``structured``: "auto" picks the stencil fast path when the mesh is a
     uniform cut-cell grid; "never" forces the generic gather path.
+    ``pad_rows_to``: round ny up to a multiple (extra rows are masked solid
+    cells) so the grid can be row-sharded over that many devices.
     """
     N_host = mesh.num_cells
     F = mesh.num_faces
@@ -226,6 +229,8 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto") -> Devi
     # Device cell layout.
     if grid is not None:
         h, nx, ny, ixs, jys = grid
+        if pad_rows_to > 1:
+            ny = ((ny + pad_rows_to - 1) // pad_rows_to) * pad_rows_to
         N_dev = nx * ny
         dev_of_host = (jys * nx + ixs).astype(np.int64)
         grid_shape = (ny, nx)
