@@ -1,0 +1,90 @@
+"""Structured fast-path tests: the stencil layout must agree with the
+generic gather path, and spatial sharding must reproduce the same step."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+from cfd2_tpu.models.coupled import step
+from cfd2_tpu.runtime.device_mesh import encode_mesh
+from cfd2_tpu.runtime.state import SolverConfig, SolverParams, initial_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    u0 = np.zeros((mesh.num_cells, 2))
+    u0[mesh.cell_cx < 0.05, 0] = 1.0
+    return mesh, u0
+
+
+def test_structured_detection(setup):
+    mesh, _ = setup
+    dm = encode_mesh(mesh)
+    assert dm.structured
+    assert dm.grid_shape == (20, 60)
+    dg = encode_mesh(mesh, structured="never")
+    assert not dg.structured
+
+
+def test_structured_matches_generic(setup):
+    """Three coupled steps on both paths agree to f32 roundoff."""
+    mesh, u0 = setup
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.01)
+    dms = encode_mesh(mesh)
+    dmg = encode_mesh(mesh, structured="never")
+    ss = initial_state(dms, u0=u0)
+    sg = initial_state(dmg, u0=u0)
+    for _ in range(3):
+        ss = step(dms, ss, params, config)
+        sg = step(dmg, sg, params, config)
+    us = np.asarray(dms.to_host_order(ss.u))
+    ug = np.asarray(dmg.to_host_order(sg.u))
+    ps = np.asarray(dms.to_host_order(ss.p))
+    pg = np.asarray(dmg.to_host_order(sg.p))
+    assert np.abs(us - ug).max() < 1e-4
+    scale = max(np.abs(pg).max(), 1.0)
+    assert np.abs(ps - pg).max() / scale < 1e-3
+    assert int(ss.outer_iters) == int(sg.outer_iters)
+
+
+def test_gather_matches_neighbor_index(setup):
+    """mesh.gather on the structured path == plain indexing by ck_neighbor."""
+    mesh, _ = setup
+    dm = encode_mesh(mesh)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(dm.num_cells).astype(np.float32))
+    g1 = np.asarray(dm.gather(x))
+    g2 = np.asarray(x)[np.asarray(dm.ck_neighbor)]
+    # Only slots whose coefficients can be nonzero must agree.
+    live = np.asarray(dm.ck_mask * (1.0 - dm.ck_is_boundary)) > 0
+    assert np.allclose(g1[live], g2[live])
+
+
+def test_spatial_sharding_matches_single_device(setup):
+    """Row-sharded step over 8 virtual devices == single-device step."""
+    from jax.sharding import Mesh as JMesh
+    from cfd2_tpu.parallel.spatial import shard_mesh, shard_state
+
+    devices = jax.devices()
+    if len(devices) < 8:
+        devices = jax.devices("cpu")
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    mesh, u0 = setup
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.01)
+    dm = encode_mesh(mesh, pad_rows_to=8)
+    state = initial_state(dm, u0=u0)
+
+    jmesh = JMesh(np.array(devices[:8]), axis_names=("y",))
+    out_sharded = step(shard_mesh(dm, jmesh), shard_state(dm, state, jmesh),
+                      params, config)
+    out_single = step(dm, state, params, config)
+    assert np.abs(np.asarray(out_sharded.u) - np.asarray(out_single.u)).max() \
+        < 1e-5
