@@ -103,18 +103,28 @@ def fgmres_solve(
             # Hessenberg column with subdiagonal entry.
             h = dots.at[j + 1].set(hnorm)
 
-            # Apply previous Givens rotations 0..j-1.
-            def rot(i, h):
-                hi = h[i]
-                hi1 = h[i + 1]
-                new_i = cs[i] * hi + sn[i] * hi1
-                new_i1 = -sn[i] * hi + cs[i] * hi1
-                use = i < j
-                h = h.at[i].set(jnp.where(use, new_i, hi))
-                h = h.at[i + 1].set(jnp.where(use, new_i1, hi1))
-                return h
+            # Apply previous Givens rotations 0..j-1 — vectorized.  The
+            # sequential update is a first-order linear recurrence
+            #   t_{i+1} = -s_i t_i + c_i h_{i+1},   out_i = c_i t_i + s_i h_{i+1}
+            # (rotation i reads the still-untouched h_{i+1}), solved in log
+            # depth with an associative scan; unused rotations (i >= j) are
+            # masked to the identity.  Replaces an m-step scalar fori_loop
+            # that dominated the per-iteration cost on TPU.
+            use = (jnp.arange(m) < j).astype(dtype)
+            c_eff = jnp.where(use > 0, cs, 1.0)
+            s_eff = jnp.where(use > 0, sn, 0.0)
+            a = -s_eff                       # (m,)
+            bvec = c_eff * h[1:]             # (m,)
 
-            h = lax.fori_loop(0, m, rot, h)
+            def combine(x, y):
+                a1, b1 = x
+                a2, b2 = y
+                return a2 * a1, a2 * b1 + b2
+
+            cumA, cumB = lax.associative_scan(combine, (a, bvec))
+            t = jnp.concatenate([h[:1], cumA * h[0] + cumB])   # (m+1,)
+            out_head = c_eff * t[:m] + s_eff * h[1:]
+            h = jnp.concatenate([out_head, t[m:]])
 
             # New rotation annihilating h[j+1].
             a = h[j]
