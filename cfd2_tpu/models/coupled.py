@@ -30,6 +30,7 @@ from ..ops.schur import schur_preconditioner
 from ..runtime.device_mesh import DeviceMesh, encode_mesh
 from ..runtime.state import (
     PRECOND_AMG,
+    PRECOND_BLOCK_JACOBI,
     SCHEME_UPWIND,
     SolverConfig,
     SolverParams,
@@ -40,11 +41,16 @@ from .assembly import assemble_coupled, prepare
 
 
 def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None):
-    """One coupled linear solve: FGMRES + Schur preconditioner."""
+    """One coupled linear solve: FGMRES + Schur (or block-Jacobi)
+    preconditioner."""
     matvec = lambda x: block_spmv(sys, mesh, x)
-    precond = lambda r: schur_preconditioner(
-        sys, mesh, r, config.precond_omega, n_sweeps,
-        pressure_solve=pressure_solve)
+    if config.precond_type == PRECOND_BLOCK_JACOBI:
+        from ..ops.schur import block_jacobi_preconditioner
+        precond = lambda r: block_jacobi_preconditioner(sys, r)
+    else:
+        precond = lambda r: schur_preconditioner(
+            sys, mesh, r, config.precond_omega, n_sweeps,
+            pressure_solve=pressure_solve)
     x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
     return fgmres_solve(
         matvec, precond, sys.rhs, x0,

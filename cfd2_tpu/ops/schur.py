@@ -42,6 +42,13 @@ def chebyshev_pressure_solve(sys: BlockSystem, mesh, rhs_p: jnp.ndarray,
     return x
 
 
+def block_jacobi_preconditioner(sys: BlockSystem, r: jnp.ndarray) -> jnp.ndarray:
+    """Alternative preconditioner: per-cell 3x3 diagonal-block inverse
+    (reference shaders/preconditioner.wgsl:106-224 — the block-Jacobi path
+    used by the BiCGStab-style flow).  z_i = (A_ii)^{-1} r_i, batched."""
+    return jnp.linalg.solve(sys.A_diag, r[..., None])[..., 0]
+
+
 def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
                          omega: float, n_sweeps: int,
                          pressure_solve=None) -> jnp.ndarray:

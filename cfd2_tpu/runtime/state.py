@@ -30,8 +30,9 @@ TIME_EULER = 0
 TIME_BDF2 = 1
 
 # Preconditioner ids (reference structs.rs precond_type)
-PRECOND_JACOBI = 0   # Chebyshev/Jacobi pressure relaxation
-PRECOND_AMG = 1      # AMG V-cycle
+PRECOND_JACOBI = 0        # Chebyshev/Jacobi pressure relaxation
+PRECOND_AMG = 1           # AMG V-cycle
+PRECOND_BLOCK_JACOBI = 2  # per-cell 3x3 block inverse (preconditioner.wgsl)
 
 
 @dataclass(frozen=True)
