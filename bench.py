@@ -52,23 +52,39 @@ def main():
     s.set_viscosity(0.01)
     s.set_density(1.0)
     s.set_precond_type(precond)
+    # Cap restarts for benching: steady-state solves use 1-2 restarts; the
+    # cap only trims the cold-start worst case (the device tunnel kills
+    # executions that run for minutes).
+    from dataclasses import replace as _rep
+    s.config = _rep(s.config,
+                    fgmres_max_restarts=int(os.environ.get(
+                        "BENCH_MAX_RESTARTS", "5")))
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)
 
+    import jax
     t0 = time.time()
-    s.run(1)  # compile + warmup
+    s.step()
+    jax.block_until_ready(s.state.u)
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    s.step()
+    jax.block_until_ready(s.state.u)
 
+    # Step one at a time (keeps each device execution short).
+    outer_iters = []
     t0 = time.time()
-    metrics = s.run(steps)
+    for _ in range(steps):
+        s.step()
+        jax.block_until_ready(s.state.u)
+        outer_iters.append(int(s.state.outer_iters))
     elapsed = time.time() - t0
     assert np.isfinite(s.get_u()).all(), "bench produced non-finite fields"
 
     steps_per_sec = steps / elapsed
     cell_updates = n * steps_per_sec
     print(f"# {steps} steps in {elapsed:.2f}s -> {steps_per_sec:.2f} steps/s, "
-          f"outer_iters={metrics['outer_iters'].tolist()}", file=sys.stderr)
+          f"outer_iters={outer_iters}", file=sys.stderr)
 
     print(json.dumps({
         "metric": f"cell-updates/sec, channel-obstacle {n} cells, coupled step",
