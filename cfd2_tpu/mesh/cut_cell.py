@@ -122,20 +122,29 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     inter_x[ci, ck] = ix
     inter_y[ci, ck] = iy
 
+    # Pre-batch the surface normals of all intersection points (one
+    # vectorized SDF-gradient call instead of per-cell scalar calls).
+    nrm_all = np.full((C, 4, 2), np.nan)
+    if len(ix):
+        nrm_all[ci, ck] = geo.normal(ix, iy)
+
     cut_poly_x: list[float] = []
     cut_poly_y: list[float] = []
     cut_poly_fixed: list[bool] = []
     cut_counts = np.zeros(C, dtype=np.int64)
+    cmins = mins[is_cut]
+    cmaxs = maxs[is_cut]
 
     for c in range(C):
         # March the 4 edges, collecting inside corners and intersections
-        # (cut_cell.rs:98-148).
-        verts: list[tuple[float, float, bool]] = []
+        # (cut_cell.rs:98-148).  Each vertex carries its surface normal when
+        # it is a boundary intersection.
+        verts: list[tuple[float, float, bool, int]] = []
         for k in range(4):
             if cd[c, k] < -_SDF_TOL:
-                verts.append((ccx[c, k], ccy[c, k], False))
+                verts.append((ccx[c, k], ccy[c, k], False, -1))
             if crossing[c, k]:
-                verts.append((inter_x[c, k], inter_y[c, k], True))
+                verts.append((inter_x[c, k], inter_y[c, k], True, k))
         if len(verts) < 3:
             continue
         # Sharp-corner reconstruction (cut_cell.rs:151-180): between two
@@ -144,18 +153,20 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
         n = len(verts)
         rebuilt: list[tuple[float, float, bool]] = []
         for k in range(n):
-            xk, yk, fk = verts[k]
-            xn, yn, fn = verts[(k + 1) % n]
+            xk, yk, fk, sk = verts[k]
+            xn, yn, fn, sn_ = verts[(k + 1) % n]
             rebuilt.append((xk, yk, fk))
             if fk and fn:
-                nrm = geo.normal(np.array([xk, xn]), np.array([yk, yn]))
-                if float(nrm[0] @ nrm[1]) < 0.7:
-                    corner = intersect_lines((xk, yk), nrm[0], (xn, yn), nrm[1])
+                n1 = nrm_all[c, sk]
+                n2 = nrm_all[c, sn_]
+                if float(n1 @ n2) < 0.7:
+                    corner = intersect_lines((xk, yk), n1, (xn, yn), n2)
                     if corner is not None and abs(float(geo.sdf(
-                            np.array(corner[0]), np.array(corner[1])))) <= 1e-4:
+                            np.float64(corner[0]),
+                            np.float64(corner[1])))) <= 1e-4:
                         tol = 1e-5
-                        if (mins[is_cut][c, 0] - tol <= corner[0] <= maxs[is_cut][c, 0] + tol
-                                and mins[is_cut][c, 1] - tol <= corner[1] <= maxs[is_cut][c, 1] + tol):
+                        if (cmins[c, 0] - tol <= corner[0] <= cmaxs[c, 0] + tol
+                                and cmins[c, 1] - tol <= corner[1] <= cmaxs[c, 1] + tol):
                             rebuilt.append((corner[0], corner[1], True))
         for xk, yk, fk in rebuilt:
             cut_poly_x.append(xk)
