@@ -265,6 +265,10 @@ class CoupledSolver:
     def set_precond_type(self, pt: int):
         self.config = replace(self.config, precond_type=int(pt))
 
+    def set_n_outer_correctors(self, n: int):
+        """Reference GpuSolver.n_outer_correctors (init/mod.rs:144)."""
+        self.config = replace(self.config, n_outer_correctors=int(n))
+
     # --- field IO (solver.rs:97-128, 241-294); host-mesh cell order ---
     def set_u(self, u):
         u = jnp.asarray(np.asarray(u, dtype=np.float32).reshape(-1, 2))
