@@ -92,8 +92,9 @@ class FieldRenderer:
             figsize=((self.bounds[1] - self.bounds[0]) * 3 + 1,
                      (self.bounds[3] - self.bounds[2]) * 3 + 1), dpi=dpi)
         pc = PolyCollection(polys, facecolors=colors,
-                            edgecolors="k" if show_mesh else "face",
-                            linewidths=0.1 if show_mesh else 0.0)
+                            edgecolors="k" if show_mesh else colors,
+                            linewidths=0.1 if show_mesh else 0.3,
+                            antialiaseds=show_mesh)
         ax.add_collection(pc)
         ax.set_xlim(self.bounds[0], self.bounds[1])
         ax.set_ylim(self.bounds[2], self.bounds[3])
