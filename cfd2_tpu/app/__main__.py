@@ -33,6 +33,8 @@ def main():
                     choices=["mag", "u", "v", "p", "d_p"])
     ap.add_argument("--snapshot-every", type=int, default=0)
     ap.add_argument("--out", default="/tmp/cfd2_frames")
+    ap.add_argument("--html", default="",
+                    help="write an interactive HTML viewer of the snapshots")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--scan", action="store_true",
                     help="run fused lax.scan loop (no snapshots)")
@@ -61,6 +63,7 @@ def main():
     else:
         renderer = FieldRenderer(sim.mesh)
         os.makedirs(args.out, exist_ok=True)
+        frame_paths = []
 
         def snap(i, solver):
             path = os.path.join(args.out, f"frame_{i:05d}.png")
@@ -70,12 +73,26 @@ def main():
                     "p": solver.mesh.to_host_order(solver.state.p),
                     "d_p": solver.mesh.to_host_order(solver.state.d_p)})(),
                 mode=args.field, path=path)
+            frame_paths.append((f"step {i}  t={float(solver.state.time):.4f}",
+                                path))
 
         sim.run(args.steps, snapshot_every=args.snapshot_every,
                 on_snapshot=snap if args.snapshot_every else None,
                 verbose=True)
         if args.snapshot_every:
             print(f"frames in {args.out}")
+        if args.html and frame_paths:
+            from ..viz import write_html_viewer
+            frames = [(label, open(p, "rb").read())
+                      for label, p in frame_paths]
+            write_html_viewer(args.html, frames,
+                              title=f"{args.geometry} / {args.fluid} / "
+                                    f"{args.field}",
+                              metadata={"cells": sim.mesh.num_cells,
+                                        "Re": round(sim.reynolds, 1),
+                                        "scheme": args.scheme,
+                                        "mesh": args.mesh_type})
+            print(f"viewer: {args.html}")
 
     if args.profile:
         print(sim.profiling.report())
