@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 ESTIMATED_WGPU_BASELINE = 5.0e6  # cell-updates/sec (see module docstring)
 
