@@ -64,18 +64,23 @@ def main():
     s.set_u(u0)
 
     import jax
+    # Large meshes run the host-driven outer loop: one device execution per
+    # outer iteration (smaller programs, shorter executions).
+    mode = os.environ.get("BENCH_MODE",
+                          "host" if n >= 300_000 else "fused")
+    print(f"# step mode: {mode}", file=sys.stderr)
     t0 = time.time()
-    s.step()
+    s.step(mode=mode)
     jax.block_until_ready(s.state.u)
     print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
-    s.step()
+    s.step(mode=mode)
     jax.block_until_ready(s.state.u)
 
     # Step one at a time (keeps each device execution short).
     outer_iters = []
     t0 = time.time()
     for _ in range(steps):
-        s.step()
+        s.step(mode=mode)
         jax.block_until_ready(s.state.u)
         outer_iters.append(int(s.state.outer_iters))
     elapsed = time.time() - t0

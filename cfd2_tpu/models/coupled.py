@@ -164,6 +164,82 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     return check_evolution(state, config, valid=mesh.c_valid)
 
 
+# ----------------------------------------------------------------------
+# Host-driven variant: the outer corrector loop runs on the host with scalar
+# readbacks per iteration — exactly the reference's control structure
+# (coupled_solver.rs:123-486 with its async max-diff reads).  Device
+# executions stay short (one outer iteration each), which matters for very
+# large meshes; the fused :func:`step` remains the zero-round-trip default.
+
+
+@partial(jax.jit, static_argnames=("config",))
+def begin_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+               config: SolverConfig) -> SolverState:
+    state = replace(state, u_old_old=state.u_old, u_old=state.u)
+    return prepare(mesh, state, params, config)
+
+
+@partial(jax.jit, static_argnames=("config", "do_prepare"))
+def outer_iteration(mesh: DeviceMesh, state: SolverState,
+                    params: SolverParams, config: SolverConfig,
+                    amg=None, do_prepare: bool = True):
+    """One outer corrector: (prepare) -> assemble -> solve -> update.
+    Returns (state, diff_u, diff_p)."""
+    n_sweeps = config.pressure_sweeps(mesh.num_cells)
+    if do_prepare:
+        state = prepare(mesh, state, params, config)
+    sys = assemble_coupled(mesh, state, params, config)
+    if config.precond_type == PRECOND_AMG and amg is not None:
+        from ..ops.amg import make_pressure_solve
+        pressure_solve = make_pressure_solve(amg, mesh, sys)
+    else:
+        pressure_solve = None
+    result = _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve)
+    u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
+    p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
+    diff_u = jnp.max(jnp.abs(u_new - state.u))
+    diff_p = jnp.max(jnp.abs(p_new - state.p))
+    state = replace(state, u=u_new, p=p_new,
+                    outer_residual_u=diff_u, outer_residual_p=diff_p,
+                    linear_iters=result.iterations,
+                    linear_residual=result.residual)
+    return state, diff_u, diff_p
+
+
+@partial(jax.jit, static_argnames=("config",))
+def finish_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+                config: SolverConfig) -> SolverState:
+    state = replace(state, time=state.time + params.dt)
+    return check_evolution(state, config, valid=mesh.c_valid)
+
+
+def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+              config: SolverConfig, amg=None) -> SolverState:
+    """Host-controlled timestep with per-outer-iteration convergence reads."""
+    state = begin_step(mesh, state, params, config)
+    max_iters = max(config.n_outer_correctors, 10)
+    prev_du = prev_dp = float("inf")
+    for it in range(max_iters):
+        do_prep = it > 0 or config.scheme != SCHEME_UPWIND
+        state, du, dp = outer_iteration(mesh, state, params, config, amg,
+                                        do_prepare=do_prep)
+        du = float(du)
+        dp = float(dp)
+        state = replace(state, outer_iters=jnp.asarray(it + 1, jnp.int32))
+        if np.isnan(du) or np.isnan(dp):
+            raise FloatingPointError(
+                f"coupled solver diverged: NaN outer residuals at iter {it}")
+        if it > 0 and du < config.outer_tol_u and dp < config.outer_tol_p:
+            break
+        rel_u = abs(du - prev_du) / max(abs(prev_du), 1e-14)
+        rel_p = abs(dp - prev_dp) / max(abs(prev_dp), 1e-14)
+        if it > 2 and rel_u < config.outer_stagnation_factor \
+                and rel_p < config.outer_stagnation_factor:
+            break
+        prev_du, prev_dp = du, dp
+    return finish_step(mesh, state, params, config)
+
+
 @partial(jax.jit, static_argnames=("config", "num_steps"))
 def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                config: SolverConfig, num_steps: int, amg=None):
@@ -301,9 +377,17 @@ class CoupledSolver:
             self._amg = build_hierarchy_for_mesh(self.mesh)
         return self._amg
 
-    def step(self):
-        self.state = step(self.mesh, self.state, self.params, self.config,
-                          self._get_amg())
+    def step(self, mode: str = "fused"):
+        """Advance one timestep.  ``mode="fused"`` (default): the whole step
+        is one device execution with zero host round-trips.  ``mode="host"``:
+        the outer loop runs on the host with per-iteration convergence reads
+        (the reference's control structure; shorter device executions)."""
+        if mode == "host":
+            self.state = step_host(self.mesh, self.state, self.params,
+                                   self.config, self._get_amg())
+        else:
+            self.state = step(self.mesh, self.state, self.params, self.config,
+                              self._get_amg())
 
     def run(self, num_steps: int):
         """Run N steps in one scan; returns per-step metrics (host arrays)."""
