@@ -313,13 +313,14 @@ def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
     return StructuredAmgHierarchy(levels=tuple(levels))
 
 
-def _dense_solve(diag, off, cols, b):
-    """Exact coarsest-level solve: scatter the ELL values into a dense
-    (nc, nc) matrix (tiny) and solve on the MXU.  ``cols`` is the static
-    (nc, k) column-index map; zero-valued pad entries are harmless.  Rows
-    with zero diagonal (masked solid aggregates) are regularized to
-    identity.  Replaces the reference's 10 coarsest Jacobi sweeps
-    (amg.rs:737-744), which cannot resolve the near-singular pressure
+def _dense_factor(diag, off, cols):
+    """LU-factorize the coarsest-level matrix: scatter the ELL values into a
+    dense (nc, nc) matrix (tiny) and factor once per assembly — the factors
+    are then reused by every preconditioner application in the solve.
+    ``cols`` is the static (nc, k) column-index map; zero-valued pad entries
+    are harmless.  Rows with zero diagonal (masked solid aggregates) are
+    regularized to identity.  Replaces the reference's 10 coarsest Jacobi
+    sweeps (amg.rs:737-744), which cannot resolve the near-singular pressure
     constant mode."""
     nc = diag.shape[0]
     rows = jnp.repeat(jnp.arange(nc), cols.shape[1])
@@ -333,7 +334,11 @@ def _dense_solve(diag, off, cols, b):
     A = A.at[jnp.arange(nc), jnp.arange(nc)].add(
         diag + eps + jnp.where(jnp.abs(diag) < 1e-30, 1.0, 0.0))
     A = A.at[rows, cols.reshape(-1)].add(off.reshape(-1))
-    return jnp.linalg.solve(A, b)
+    return jax.scipy.linalg.lu_factor(A)
+
+
+def _dense_solve_factored(factors, b):
+    return jax.scipy.linalg.lu_solve(factors, b)
 
 
 class _GridOps:
@@ -416,9 +421,12 @@ _STRUCT_SWEEPS = 4  # V(4,4): piecewise-constant aggregation needs strong
 
 
 def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
-                       b0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+                       b0: jnp.ndarray, x0: jnp.ndarray,
+                       coarse_factors=None) -> jnp.ndarray:
     """One V(4,4)-cycle over the structured hierarchy, exact (dense,
-    regularized) coarsest solve — all stencils/reshapes, no gathers."""
+    regularized) coarsest solve — all stencils/reshapes, no gathers.
+    ``coarse_factors``: precomputed LU of the coarsest matrix (hoisted out
+    of the per-application path); computed on the fly when None."""
     L = len(hier.levels)
     grids = [hier.levels[0].fine_grid] + [lvl.grid for lvl in hier.levels]
     ops = [_GridOps(g) for g in grids]
@@ -434,7 +442,9 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
         xs.append(jnp.zeros((hier.levels[i].n,), x0.dtype))
 
     diag, off = level_values[L]
-    xs[L] = _dense_solve(diag, off, ops[L].neighbor_cols(), bs[L])
+    if coarse_factors is None:
+        coarse_factors = _dense_factor(diag, off, ops[L].neighbor_cols())
+    xs[L] = _dense_solve_factored(coarse_factors, bs[L])
 
     for i in reversed(range(L)):
         diag, off = level_values[i]
@@ -473,7 +483,8 @@ def _smooth(diag, off, gather, x, b, sweeps=1):
 
 
 def v_cycle(hier: AmgHierarchy, level_values, mesh,
-            b0: jnp.ndarray, x0: jnp.ndarray) -> jnp.ndarray:
+            b0: jnp.ndarray, x0: jnp.ndarray,
+            coarse_factors=None) -> jnp.ndarray:
     """One V-cycle; level structure is static so the cycle fully unrolls.
 
     Level 0 uses ``mesh.gather`` (stencil shifts on structured meshes);
@@ -497,11 +508,13 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
         bs.append(b_c)
         xs.append(jnp.zeros((lvl.n,), x.dtype))
 
-    # Coarsest solve: exact dense solve (see _dense_solve).
+    # Coarsest solve: exact dense solve (see _dense_factor).
     diag, off = level_values[L]
-    coarsest_cols = (hier.levels[-1].ell_neighbor if L > 0
-                     else jnp.zeros((diag.shape[0], 1), jnp.int32))
-    xs[L] = _dense_solve(diag, off, coarsest_cols, bs[L])
+    if coarse_factors is None:
+        coarsest_cols = (hier.levels[-1].ell_neighbor if L > 0
+                         else jnp.zeros((diag.shape[0], 1), jnp.int32))
+        coarse_factors = _dense_factor(diag, off, coarsest_cols)
+    xs[L] = _dense_solve_factored(coarse_factors, bs[L])
 
     # Upward
     for i in reversed(range(L)):
@@ -524,18 +537,27 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem):
     if isinstance(hier, StructuredAmgHierarchy):
         level_values = compute_structured_level_values(
             hier, sys.P_diag, sys.P_off)
+        dc, oc = level_values[-1]
+        factors = _dense_factor(
+            dc, oc, _GridOps(hier.levels[-1].grid).neighbor_cols())
 
         def pressure_solve(rhs_p):
             x0 = sys.diag_p_inv * rhs_p
-            return structured_v_cycle(hier, level_values, rhs_p, x0)
+            return structured_v_cycle(hier, level_values, rhs_p, x0,
+                                      coarse_factors=factors)
 
         return pressure_solve
 
     level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+    dc, oc = level_values[-1]
+    cols = (hier.levels[-1].ell_neighbor if hier.levels
+            else jnp.zeros((dc.shape[0], 1), jnp.int32))
+    factors = _dense_factor(dc, oc, cols)
 
     def pressure_solve(rhs_p):
         x0 = sys.diag_p_inv * rhs_p          # Jacobi seed, like p_sol init
-        return v_cycle(hier, level_values, mesh, rhs_p, x0)
+        return v_cycle(hier, level_values, mesh, rhs_p, x0,
+                       coarse_factors=factors)
 
     return pressure_solve
 
