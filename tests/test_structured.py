@@ -66,6 +66,24 @@ def test_gather_matches_neighbor_index(setup):
     assert np.allclose(g1[live], g2[live])
 
 
+def test_host_mode_matches_fused(setup):
+    """The host-driven outer loop (reference control structure) matches the
+    fused zero-round-trip step."""
+    from cfd2_tpu.models.coupled import CoupledSolver
+
+    mesh, u0 = setup
+    a = CoupledSolver(mesh)
+    b = CoupledSolver(mesh)
+    for s in (a, b):
+        s.set_dt(0.01)
+        s.set_u(u0)
+    for _ in range(2):
+        a.step(mode="fused")
+        b.step(mode="host")
+    assert np.abs(a.get_u() - b.get_u()).max() < 1e-4
+    assert int(a.state.outer_iters) == int(b.state.outer_iters)
+
+
 def test_spatial_sharding_matches_single_device(setup):
     """Row-sharded step over 8 virtual devices == single-device step."""
     from jax.sharding import Mesh as JMesh
