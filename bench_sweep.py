@@ -1,0 +1,64 @@
+"""Dispatch-scaling sweep: cell-updates/sec across mesh sizes, mirroring the
+reference's criterion size sweep (benches/gpu_dispatch_benchmark.rs:59-130:
+meshes 0.05 / 0.02 / 0.01 with Throughput::Elements(num_cells), plus the
+Jacobi-vs-AMG comparison at 0.01 (:161-190)).
+
+Prints one JSON line per (size, preconditioner) combination.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+
+
+def bench_one(min_cell: float, precond: int, steps: int = 6):
+    import jax
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, min_cell, min_cell, 1.2, (3.0, 1.0))
+    n = mesh.num_cells
+    s = CoupledSolver(mesh)
+    s.set_dt(min(0.002, 0.4 * min_cell))
+    s.set_precond_type(precond)
+    u0 = np.zeros((n, 2))
+    u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
+    s.set_u(u0)
+
+    mode = "host" if n >= 300_000 else "fused"
+    for _ in range(2):   # compile + warmup
+        s.step(mode=mode)
+        jax.block_until_ready(s.state.u)
+    t0 = time.time()
+    for _ in range(steps):
+        s.step(mode=mode)
+        jax.block_until_ready(s.state.u)
+    dt = (time.time() - t0) / steps
+    assert np.isfinite(s.get_u()).all()
+    print(json.dumps({
+        "mesh": min_cell, "cells": n,
+        "precond": ["jacobi", "amg", "block-jacobi"][precond],
+        "step_seconds": round(dt, 4),
+        "cell_updates_per_sec": round(n / dt, 1),
+    }), flush=True)
+
+
+def main():
+    sizes = [float(x) for x in os.environ.get(
+        "SWEEP_SIZES", "0.05,0.02,0.01").split(",")]
+    for h in sizes:
+        bench_one(h, precond=1)
+    # Jacobi vs AMG at 0.01 (reference :161-190).
+    cmp_size = float(os.environ.get("SWEEP_COMPARE", "0.01"))
+    bench_one(cmp_size, precond=0)
+
+
+if __name__ == "__main__":
+    main()
