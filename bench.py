@@ -36,7 +36,6 @@ def main():
 
     from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
     from cfd2_tpu.models.coupled import CoupledSolver
-    from cfd2_tpu.runtime.state import SolverConfig
 
     t0 = time.time()
     geo = ChannelWithObstacle(length=3.0, height=1.0,

@@ -8,8 +8,6 @@ Prints one JSON line per benchmark: {"name", "cells", "seconds"}.
 import json
 import time
 
-import numpy as np
-
 
 def _bench(name, fn):
     t0 = time.time()

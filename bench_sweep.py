@@ -8,7 +8,6 @@ Prints one JSON line per (size, preconditioner) combination.
 
 import json
 import os
-import sys
 import time
 
 import numpy as np

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 from ..ops.blockell import BlockSystem
 from ..runtime.device_mesh import SLOT_E, SLOT_N, SLOT_S, SLOT_W, DeviceMesh
 from ..runtime.state import (
-    SCHEME_QUICK,
     SCHEME_SECOND_ORDER_UPWIND,
     SCHEME_UPWIND,
     TIME_BDF2,

@@ -16,7 +16,6 @@ encode time by growing the grid with masked solid rows.
 from __future__ import annotations
 
 import jax
-import numpy as np
 from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec as P
 
 from ..runtime.device_mesh import DeviceMesh

@@ -14,7 +14,7 @@ constants.  Here the same split is explicit and jit-friendly:
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass
 
 import jax
 import jax.numpy as jnp

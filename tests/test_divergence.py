@@ -7,7 +7,6 @@
 """
 
 import numpy as np
-import pytest
 
 from cfd2_tpu.mesh import BackwardsStep, ChannelWithObstacle, generate_cut_cell_mesh
 from cfd2_tpu.models.coupled import CoupledSolver

@@ -2,7 +2,6 @@
 (tests/reproduce_chamfer.rs, tests/debug_obstacle_mesh.rs)."""
 
 import numpy as np
-import pytest
 
 from cfd2_tpu.mesh import (
     BOUNDARY_INLET,

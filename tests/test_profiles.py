@@ -3,11 +3,8 @@
 run the solver under the profiler and validate the report; check fine-mesh
 quality bounds."""
 
-import numpy as np
-import pytest
 
 from cfd2_tpu.app.driver import Simulation
-from cfd2_tpu.app.fluids import Fluid
 from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
 
 
