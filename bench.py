@@ -7,12 +7,14 @@ BASELINE.json north-star configuration (channel with circular obstacle).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed
-against ESTIMATED_WGPU_BASELINE, a conservative estimate of the reference's
-throughput derived from its own in-tree evidence: the only quantified perf
-statement (coupled_solver.rs:22-25, ~65 ms/step debug-read overhead dwarfed by
-the solve on ~9k cells) and the per-step structure (20 outer x 50 inner
-iterations with host round-trips each).  Re-measure with
-`cargo bench --bench gpu_dispatch_benchmark` for a hard number.
+against ESTIMATED_WGPU_BASELINE, an estimate of the reference's throughput
+derived from its only quantified in-tree perf statement: enabling debug reads
+adds ~65 ms/step and is described as significant overhead relative to the
+solve (coupled_solver.rs:22-25), placing its normal step at O(50-100 ms) on
+its ~9k-cell bench mesh — about 1e5..2e5 cell-updates/sec.  We take the
+upper end (2e5).  Re-measure with
+`cargo bench --bench gpu_dispatch_benchmark` on comparison hardware for a
+hard number.
 """
 
 import json
@@ -24,7 +26,7 @@ import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
-ESTIMATED_WGPU_BASELINE = 5.0e6  # cell-updates/sec (see module docstring)
+ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
 
 
 def main():
@@ -95,6 +97,8 @@ def main():
         "value": round(cell_updates, 1),
         "unit": "cell-updates/sec",
         "vs_baseline": round(cell_updates / ESTIMATED_WGPU_BASELINE, 3),
+        "steps_per_sec": round(steps_per_sec, 3),
+        "cells": n,
     }))
 
 
