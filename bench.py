@@ -30,8 +30,8 @@ ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
 
 
 def main():
-    min_cell = float(os.environ.get("BENCH_MIN_CELL", "0.004"))
-    steps = int(os.environ.get("BENCH_STEPS", "10"))
+    min_cell = float(os.environ.get("BENCH_MIN_CELL", "0.0017"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
     # CFL-safe default timestep (inlet velocity 1, target CFL ~0.4).
     dt = float(os.environ.get("BENCH_DT", str(min(0.002, 0.4 * min_cell))))
     precond = int(os.environ.get("BENCH_PRECOND", "1"))  # 1 = AMG (default)
