@@ -396,6 +396,18 @@ class CoupledSolver:
                                          self._get_amg())
         return jax.tree.map(np.asarray, metrics)
 
+    # --- checkpoint/resume (new capability; runtime/checkpoint.py) ---
+    def save_checkpoint(self, path: str):
+        from ..runtime.checkpoint import save_checkpoint
+        save_checkpoint(path, self.state, self.params)
+
+    def load_checkpoint(self, path: str):
+        from ..runtime.checkpoint import load_checkpoint
+        state, params = load_checkpoint(path)
+        self.state = state
+        if params is not None:
+            self.params = params
+
     # --- status (reference structs.rs should_stop / counters) ---
     @property
     def should_stop(self) -> bool:
