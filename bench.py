@@ -114,9 +114,29 @@ def main():
 
     import subprocess
 
+    def wait_healthy(max_checks=20):
+        """A crashed/wedged worker auto-restarts in a few minutes; gate the
+        next attempt on a tiny device program succeeding."""
+        probe = ("import jax, jax.numpy as jnp; "
+                 "jnp.ones((64,64)).sum().block_until_ready()")
+        for i in range(max_checks):
+            try:
+                r = subprocess.run([sys.executable, "-c", probe],
+                                   timeout=90, capture_output=True)
+                if r.returncode == 0:
+                    return True
+            except subprocess.TimeoutExpired:
+                pass
+            print(f"# device unhealthy (check {i + 1}); waiting",
+                  file=sys.stderr)
+            time.sleep(40)
+        return False
+
     ladder = os.environ.get("BENCH_LADDER", "0.0017,0.004,0.008").split(",")
     budget = float(os.environ.get("BENCH_TIMEOUT", "1500"))
-    for size in ladder:
+    for attempt, size in enumerate(ladder):
+        if attempt > 0 and not wait_healthy():
+            break
         env = dict(os.environ, BENCH_CHILD="1", BENCH_MIN_CELL=size)
         try:
             proc = subprocess.run(
