@@ -106,3 +106,23 @@ def test_spatial_sharding_matches_single_device(setup):
     out_single = step(dm, state, params, config)
     assert np.abs(np.asarray(out_sharded.u) - np.asarray(out_single.u)).max() \
         < 1e-5
+
+
+def test_multi_step_adaptive_scan(setup):
+    """The fully-scanned adaptive-dt loop (on-device CFL controller) runs and
+    produces monotone time with bounded dt."""
+    from cfd2_tpu.models.coupled import multi_step_adaptive
+
+    mesh, u0 = setup
+    dm = encode_mesh(mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.002)
+    state = initial_state(dm, u0=u0)
+    state, params, metrics = multi_step_adaptive(
+        dm, state, params, config, num_steps=5, target_cfl=0.5,
+        min_cell_size=0.05)
+    t = np.asarray(metrics["time"])
+    dt = np.asarray(metrics["dt"])
+    assert (np.diff(t) > 0).all()
+    assert (dt >= 1e-5).all() and (dt <= 0.1).all()
+    assert np.isfinite(np.asarray(state.u)).all()
