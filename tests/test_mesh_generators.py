@@ -76,3 +76,12 @@ def test_mesh_comparison(geo):
     md = generate_delaunay_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
     assert 0.3 < md.num_cells / mc.num_cells < 3.0
     assert abs(mc.cell_vol.sum() - md.cell_vol.sum()) < 0.05
+
+
+def test_delaunay_scale(geo):
+    """Reference tests/delaunay_test.rs: the 0.005 mesh exceeds 100k cells
+    and remains structurally valid."""
+    m = generate_delaunay_mesh(geo, 0.005, 0.005, 1.2, (3.0, 1.0))
+    assert m.num_cells > 100_000
+    assert m.validate() == []
+    assert (m.cell_vol > 0).all()
