@@ -24,19 +24,25 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+_HALO = 4  # rows of halo padding each side; keeps DMA slabs 8-row aligned
+
+
 def _rbgs_half_sweep_kernel(xpad_ref, diag_ref, oe_ref, ow_ref, on_ref,
                             os_ref, b_ref, parity_ref, out_ref,
                             scratch, sem, *, block_rows, nx):
     i = pl.program_id(0)
-    # Stage the x slab (block rows + 1 halo row each side) HBM -> VMEM.
+    # Stage the x slab (block rows + _HALO rows each side) HBM -> VMEM.
+    # Slab starts at i*block_rows (8-aligned) and spans block_rows + 2*_HALO
+    # rows (8-aligned) — Mosaic requires 8-row tile alignment on DMA slices.
     copy = pltpu.make_async_copy(
-        xpad_ref.at[pl.ds(i * block_rows, block_rows + 2)], scratch, sem)
+        xpad_ref.at[pl.ds(i * block_rows, block_rows + 2 * _HALO)],
+        scratch, sem)
     copy.start()
     copy.wait()
 
-    xc = scratch[1:block_rows + 1, :]
-    xn = scratch[2:block_rows + 2, :]
-    xs = scratch[0:block_rows, :]
+    xc = scratch[_HALO:_HALO + block_rows, :]
+    xn = scratch[_HALO + 1:_HALO + block_rows + 1, :]
+    xs = scratch[_HALO - 1:_HALO + block_rows - 1, :]
     xe = jnp.concatenate([xc[:, 1:], xc[:, -1:]], axis=1)
     xw = jnp.concatenate([xc[:, :1], xc[:, :-1]], axis=1)
 
@@ -66,7 +72,8 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
     Returns the updated flat x.
     """
     ny, nx = grid_shape
-    block_rows = min(ny, max(8, 512 * 1024 // max(nx * 4, 1)))  # ~0.5MB slabs
+    block_rows = min(_round_up(ny, 8),
+                     max(8, (512 * 1024 // max(nx * 4, 1)) // 8 * 8))
     ny_pad = _round_up(ny, block_rows)
 
     def grid2(v):
@@ -75,8 +82,11 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
             g = jnp.pad(g, ((0, ny_pad - ny), (0, 0)))
         return g
 
-    xg = grid2(x)
-    xpad = jnp.pad(xg, ((1, 1), (0, 0)), mode="edge")
+    # x is edge-replicated into both the grid padding and the halo so that
+    # neighbor reads clamp exactly like the jnp path (coefficient rows in the
+    # padding are zero, so padded-row updates are inert and discarded).
+    xpad = jnp.pad(x.reshape(ny, nx), ((_HALO, _HALO + ny_pad - ny), (0, 0)),
+                   mode="edge")
     og = off.reshape(ny, nx, 4)
     if ny_pad != ny:
         og = jnp.pad(og, ((0, ny_pad - ny), (0, 0), (0, 0)))
@@ -98,7 +108,7 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
         out_specs=blk(),
         out_shape=jax.ShapeDtypeStruct((ny_pad, nx), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_rows + 2, nx), x.dtype),
+            pltpu.VMEM((block_rows + 2 * _HALO, nx), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
