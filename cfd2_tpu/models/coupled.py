@@ -214,7 +214,8 @@ def finish_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 
 
 def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
-              config: SolverConfig, amg=None) -> SolverState:
+              config: SolverConfig, amg=None,
+              verbose: bool = False) -> SolverState:
     """Host-controlled timestep with per-outer-iteration convergence reads."""
     state = begin_step(mesh, state, params, config)
     max_iters = max(config.n_outer_correctors, 10)
@@ -225,6 +226,10 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                                         do_prepare=do_prep)
         du = float(du)
         dp = float(dp)
+        if verbose:
+            print(f"  outer {it}: du={du:.2e} dp={dp:.2e} "
+                  f"lin_it={int(state.linear_iters)} "
+                  f"lin_res={float(state.linear_residual):.2e}")
         state = replace(state, outer_iters=jnp.asarray(it + 1, jnp.int32))
         if np.isnan(du) or np.isnan(dp):
             raise FloatingPointError(
