@@ -40,9 +40,11 @@ from ..runtime.state import (
 from .assembly import assemble_coupled, prepare
 
 
-def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None):
+def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
+                  tol=None):
     """One coupled linear solve: FGMRES + Schur (or block-Jacobi)
-    preconditioner."""
+    preconditioner.  ``tol`` (possibly traced) overrides the relative
+    tolerance (inexact-Newton forcing)."""
     matvec = lambda x: block_spmv(sys, mesh, x)
     if config.precond_type == PRECOND_BLOCK_JACOBI:
         from ..ops.schur import block_jacobi_preconditioner
@@ -56,7 +58,8 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None):
         matvec, precond, sys.rhs, x0,
         restart=config.fgmres_restart,
         max_restarts=config.fgmres_max_restarts,
-        tol=config.fgmres_tol, abstol=config.fgmres_abstol,
+        tol=config.fgmres_tol if tol is None else tol,
+        abstol=config.fgmres_abstol,
         stagnation_tol=config.fgmres_stagnation_tol,
         stagnation_limit=config.fgmres_stagnation_limit)
 
@@ -132,8 +135,13 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             pressure_solve = make_pressure_solve(amg, mesh, sys)
         else:
             pressure_solve = None
+        if config.adaptive_linear_tol:
+            lin_tol = jnp.maximum(jnp.asarray(config.fgmres_tol, jnp.float32),
+                                  10.0 ** (-(3.0 + it.astype(jnp.float32))))
+        else:
+            lin_tol = None
         result = _solve_linear(mesh, sys, state, config, n_sweeps,
-                               pressure_solve)
+                               pressure_solve, tol=lin_tol)
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
@@ -182,7 +190,7 @@ def begin_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 @partial(jax.jit, static_argnames=("config", "do_prepare"))
 def outer_iteration(mesh: DeviceMesh, state: SolverState,
                     params: SolverParams, config: SolverConfig,
-                    amg=None, do_prepare: bool = True):
+                    amg=None, do_prepare: bool = True, lin_tol=None):
     """One outer corrector: (prepare) -> assemble -> solve -> update.
     Returns (state, diff_u, diff_p)."""
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
@@ -194,7 +202,8 @@ def outer_iteration(mesh: DeviceMesh, state: SolverState,
         pressure_solve = make_pressure_solve(amg, mesh, sys)
     else:
         pressure_solve = None
-    result = _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve)
+    result = _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,
+                           tol=lin_tol)
     u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
     p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
     diff_u = jnp.max(jnp.abs(u_new - state.u))
@@ -222,8 +231,13 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     prev_du = prev_dp = float("inf")
     for it in range(max_iters):
         do_prep = it > 0 or config.scheme != SCHEME_UPWIND
+        if config.adaptive_linear_tol:
+            lin_tol = jnp.asarray(max(config.fgmres_tol, 10.0 ** -(3 + it)),
+                                  jnp.float32)
+        else:
+            lin_tol = None
         state, du, dp = outer_iteration(mesh, state, params, config, amg,
-                                        do_prepare=do_prep)
+                                        do_prepare=do_prep, lin_tol=lin_tol)
         du = float(du)
         dp = float(dp)
         if verbose:

@@ -55,6 +55,13 @@ class SolverConfig:
     fgmres_abstol: float = 1e-7
     fgmres_stagnation_tol: float = 1e-3
     fgmres_stagnation_limit: int = 3
+    # Inexact-Newton forcing: early outer iterations solve to a looser
+    # relative tolerance (10^-(3+it) floored at fgmres_tol) — the outer
+    # corrector re-solves anyway, and the first solve of a step otherwise
+    # burns hundreds of Krylov iterations on accuracy that is immediately
+    # discarded.  Final outer tolerances are unchanged.  Set False for
+    # strict reference behavior (fixed 1e-5 every solve).
+    adaptive_linear_tol: bool = True
 
     # Schur pressure relaxation: coupled_solver_fgmres.rs:1812-1817
     precond_omega: float = 1.2
