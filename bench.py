@@ -49,7 +49,9 @@ def run_bench(min_cell=None):
     print(f"# mesh: {n} cells, {mesh.num_faces} faces ({t_mesh:.1f}s)",
           file=sys.stderr)
 
-    s = CoupledSolver(mesh)
+    s = CoupledSolver(mesh,
+                      pad_rows_to=int(os.environ.get("BENCH_PAD_ROWS", "1")),
+                      pad_cols_to=int(os.environ.get("BENCH_PAD_COLS", "1")))
     s.set_dt(dt)
     s.set_viscosity(0.01)
     s.set_density(1.0)

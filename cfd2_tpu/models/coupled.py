@@ -320,9 +320,11 @@ class CoupledSolver:
     """
 
     def __init__(self, mesh, config: SolverConfig | None = None,
-                 params: SolverParams | None = None):
+                 params: SolverParams | None = None,
+                 pad_rows_to: int = 1, pad_cols_to: int = 1):
         self.host_mesh = mesh
-        self.mesh = encode_mesh(mesh)
+        self.mesh = encode_mesh(mesh, pad_rows_to=pad_rows_to,
+                                pad_cols_to=pad_cols_to)
         self.config = config or SolverConfig()
         self.params = params or SolverParams.default()
         self.state = initial_state(self.mesh)

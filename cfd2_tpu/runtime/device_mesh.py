@@ -200,13 +200,15 @@ def _detect_uniform_grid(mesh: Mesh):
 
 
 def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
-                pad_rows_to: int = 1) -> DeviceMesh:
+                pad_rows_to: int = 1, pad_cols_to: int = 1) -> DeviceMesh:
     """Encode a host mesh (one-time upload).
 
     ``structured``: "auto" picks the stencil fast path when the mesh is a
     uniform cut-cell grid; "never" forces the generic gather path.
     ``pad_rows_to``: round ny up to a multiple (extra rows are masked solid
     cells) so the grid can be row-sharded over that many devices.
+    ``pad_cols_to``: round nx up to a multiple (e.g. 128 to lane-align every
+    grid row; extra columns are masked solid cells).
     """
     N_host = mesh.num_cells
     F = mesh.num_faces
@@ -231,6 +233,8 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         h, nx, ny, ixs, jys = grid
         if pad_rows_to > 1:
             ny = ((ny + pad_rows_to - 1) // pad_rows_to) * pad_rows_to
+        if pad_cols_to > 1:
+            nx = ((nx + pad_cols_to - 1) // pad_cols_to) * pad_cols_to
         N_dev = nx * ny
         dev_of_host = (jys * nx + ixs).astype(np.int64)
         grid_shape = (ny, nx)
