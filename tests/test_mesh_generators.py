@@ -85,3 +85,18 @@ def test_delaunay_scale(geo):
     assert m.num_cells > 100_000
     assert m.validate() == []
     assert (m.cell_vol > 0).all()
+
+
+def test_voronoi_quality_after_smoothing(geo):
+    """Port of tests/reproduce_voronoi_quality.rs: after smoothing, boundary
+    vertices lie within 1e-3 of the SDF zero level."""
+    m = generate_voronoi_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    m.smooth(geo, 0.3, 30)
+    assert m.validate() == []
+    fixed = m.v_fixed
+    assert fixed.any()
+    import numpy as _np
+    # Only obstacle-surface vertices are SDF-constrained; wall/inlet/outlet
+    # vertices sit on the domain box where sdf==0 as well.
+    err = _np.abs(geo.sdf(m.vx[fixed], m.vy[fixed]))
+    assert err.max() <= 1e-3, f"boundary fidelity {err.max():.2e}"
