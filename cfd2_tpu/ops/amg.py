@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import jax
 import jax.numpy as jnp
 import numpy as np
+from jax import lax
 
 from .blockell import BlockSystem
 
@@ -415,6 +416,68 @@ class _GridOps:
         xg = jnp.repeat(jnp.repeat(xg, 2, axis=0), 2, axis=1)
         return xg[:self.ny, :self.nx].reshape(-1)
 
+    # ------------------------------------------------------------------
+    # 2D-native variants: state stays (ny, nx), values (ny, nx) / (4, ny, nx).
+    #
+    # The flat methods above reshape (n,) <-> (ny, nx) around every stencil.
+    # Profiling the FGMRES while_loop on TPU showed those reshapes lower to
+    # standalone relayout kernels at ~1.3 ms each for 2-8 MB arrays when the
+    # loop's live set is large (2M cells: 12 reshape kernels = ~15 ms of the
+    # 51 ms/iteration).  Keeping every level's state and coefficients in 2D
+    # grid form eliminates them: shifts, coloring, and residuals all fuse.
+
+    def color2(self):
+        """Checkerboard color, (ny, nx) f32 static constant."""
+        j = np.arange(self.ny)[:, None]
+        i = np.arange(self.nx)[None, :]
+        return jnp.asarray(((j + i) % 2).astype(np.float32))
+
+    def shifts2(self, xg):
+        """Edge-clamped E,W,N,S neighbor grids of an (ny, nx) array."""
+        e = jnp.concatenate([xg[:, 1:], xg[:, -1:]], axis=1)
+        w = jnp.concatenate([xg[:, :1], xg[:, :-1]], axis=1)
+        n = jnp.concatenate([xg[1:], xg[-1:]], axis=0)
+        s = jnp.concatenate([xg[:1], xg[:-1]], axis=0)
+        return e, w, n, s
+
+    def _sigma2(self, off2, xg):
+        e, w, n, s = self.shifts2(xg)
+        return off2[0] * e + off2[1] * w + off2[2] * n + off2[3] * s
+
+    def spmv2(self, diag2, off2, xg):
+        return diag2 * xg + self._sigma2(off2, xg)
+
+    def smooth_rbgs2(self, diag2, off2, xg, bg, sweeps=1):
+        """Red-black Gauss-Seidel on 2D grids (see smooth_rbgs)."""
+        color = self.color2()
+        dinv = jnp.where(jnp.abs(diag2) > 1e-30, 1.0 / diag2, 0.0)
+        for _ in range(sweeps):
+            for c in (0.0, 1.0):
+                xn = dinv * (bg - self._sigma2(off2, xg))
+                xg = jnp.where(color == c, xn, xg)
+        return xg
+
+    def restrict2(self, coarse_grid, rg):
+        # reduce_window, NOT reshape(nyc,2,nxc,2).sum: the 4D intermediate's
+        # minor dims (2,2) tile-pad to (8,128) on TPU — a 64x memory
+        # expansion (511 MB for an 8 MB level-0 buffer) that both OOMs and
+        # serializes as mammoth relayout kernels.
+        nyc, nxc = coarse_grid
+        rg = jnp.pad(rg, ((0, 2 * nyc - self.ny), (0, 2 * nxc - self.nx)))
+        return lax.reduce_window(rg, jnp.asarray(0.0, rg.dtype), lax.add,
+                                 (2, 2), (2, 2), "VALID")
+
+    def prolong2(self, coarse_grid, xcg):
+        # Piecewise-constant 2x upsample without jnp.repeat (whose internal
+        # (nyc,2,nxc,2) reshape hits the same tile-padding blowup as
+        # restrict): interior-dilate to even positions, then accumulate the
+        # one-step shifts to fill odd rows/columns.
+        zero = jnp.asarray(0.0, xcg.dtype)
+        d = lax.pad(xcg, zero, ((0, 1, 1), (0, 1, 1)))       # (2nyc, 2nxc)
+        rows = d + jnp.concatenate([d[:1] * 0, d[:-1]], axis=0)
+        full = rows + jnp.concatenate([rows[:, :1] * 0, rows[:, :-1]], axis=1)
+        return full[:self.ny, :self.nx]
+
 
 _NULL_SHIFT = 1e-3  # shifted-Laplacian regularization (see below)
 
@@ -443,6 +506,20 @@ def compute_structured_level_values(hier: StructuredAmgHierarchy,
     return vals
 
 
+def structured_level_values_2d(hier: StructuredAmgHierarchy, level_values):
+    """Reshape flat per-level values [(n,), (n,4)] to 2D grid form
+    [(ny,nx), (4,ny,nx)].  Done once per assembly (outside the Krylov loop)
+    so the solve-path stencils never touch flat layouts."""
+    grids = [hier.levels[0].fine_grid] + [lvl.grid for lvl in hier.levels]
+    out = []
+    for (ny, nx), (d, o) in zip(grids, level_values):
+        if d.ndim == 2:
+            out.append((d, o))
+        else:
+            out.append((d.reshape(ny, nx), o.T.reshape(4, ny, nx)))
+    return out
+
+
 def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
                        b0: jnp.ndarray, x0: jnp.ndarray,
                        coarse_factors=None) -> jnp.ndarray:
@@ -451,31 +528,54 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
     Plain-aggregation transfers need a strong smoother: damped Jacobi V(1,1)
     diverges; RB-GS V(1,1) contracts at ~0.5-0.7/cycle.
     ``coarse_factors``: precomputed LU of the coarsest matrix (hoisted out
-    of the per-application path); computed on the fly when None."""
+    of the per-application path); computed on the fly when None.
+
+    The cycle runs 2D-native (one reshape at entry and exit; see _GridOps
+    2D methods): on TPU the per-op (n,) <-> (ny,nx) relayouts of the flat
+    formulation dominated the preconditioner cost inside the FGMRES
+    while_loop at >=2M cells.  ``level_values`` may be flat or already in
+    2D form (structured_level_values_2d)."""
     L = len(hier.levels)
     grids = [hier.levels[0].fine_grid] + [lvl.grid for lvl in hier.levels]
     ops = [_GridOps(g) for g in grids]
+    lv2 = structured_level_values_2d(hier, level_values)
 
-    xs = [x0]
-    bs = [b0]
+    from .pallas_stencil import pallas_enabled, smooth_rbgs_pallas
+
+    def smooth(i, xg, bg):
+        diag2, off2 = lv2[i]
+        if pallas_enabled():
+            # Pallas kernel takes flat layouts; gated off by default.
+            ny, nx = grids[i]
+            off_flat = jnp.moveaxis(off2.reshape(4, ny * nx), 0, 1)
+            x = smooth_rbgs_pallas((ny, nx), diag2.reshape(-1), off_flat,
+                                   xg.reshape(-1), bg.reshape(-1))
+            return x.reshape(ny, nx)
+        return ops[i].smooth_rbgs2(diag2, off2, xg, bg)
+
+    xs = [x0.reshape(grids[0])]
+    bs = [b0.reshape(grids[0])]
     for i in range(L):
-        diag, off = level_values[i]
-        x = ops[i].smooth_rbgs(diag, off, xs[i], bs[i])
-        r = bs[i] - ops[i].spmv(diag, off, x)
+        diag2, off2 = lv2[i]
+        x = smooth(i, xs[i], bs[i])
+        r = bs[i] - ops[i].spmv2(diag2, off2, x)
         xs[i] = x
-        bs.append(ops[i].restrict_to(grids[i + 1], r))
-        xs.append(jnp.zeros((hier.levels[i].n,), x0.dtype))
+        bs.append(ops[i].restrict2(grids[i + 1], r))
+        xs.append(jnp.zeros(grids[i + 1], x0.dtype))
 
-    diag, off = level_values[L]
+    diag2, off2 = lv2[L]
     if coarse_factors is None:
-        coarse_factors = _dense_factor(diag, off, ops[L].neighbor_cols())
-    xs[L] = _dense_solve_factored(coarse_factors, bs[L])
+        coarse_factors = _dense_factor(
+            diag2.reshape(-1),
+            jnp.moveaxis(off2.reshape(4, -1), 0, 1),
+            ops[L].neighbor_cols())
+    xs[L] = _dense_solve_factored(
+        coarse_factors, bs[L].reshape(-1)).reshape(grids[L])
 
     for i in reversed(range(L)):
-        diag, off = level_values[i]
-        x = xs[i] + ops[i].prolong_from(grids[i + 1], xs[i + 1])
-        xs[i] = ops[i].smooth_rbgs(diag, off, x, bs[i])
-    return xs[0]
+        x = xs[i] + ops[i].prolong2(grids[i + 1], xs[i + 1])
+        xs[i] = smooth(i, x, bs[i])
+    return xs[0].reshape(-1)
 
 
 # ----------------------------------------------------------------------
@@ -565,10 +665,13 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem):
         dc, oc = level_values[-1]
         factors = _dense_factor(
             dc, oc, _GridOps(hier.levels[-1].grid).neighbor_cols())
+        # 2D grid form, reshaped once per assembly so the V-cycle's stencils
+        # run relayout-free inside the Krylov loop.
+        lv2 = structured_level_values_2d(hier, level_values)
 
         def pressure_solve(rhs_p):
             x0 = sys.diag_p_inv * rhs_p
-            return structured_v_cycle(hier, level_values, rhs_p, x0,
+            return structured_v_cycle(hier, lv2, rhs_p, x0,
                                       coarse_factors=factors)
 
         return pressure_solve

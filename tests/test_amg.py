@@ -79,6 +79,35 @@ def _run_steps(mesh, precond, n_steps=5):
     return s
 
 
+def test_grid_ops_2d_match_flat():
+    """The 2D-native V-cycle ops (relayout-free TPU path) must reproduce the
+    flat reference implementations exactly."""
+    from cfd2_tpu.ops.amg import _GridOps
+    rng = np.random.default_rng(1)
+    ny, nx = 13, 21          # odd dims — the case that hit relayouts on TPU
+    n = ny * nx
+    ops = _GridOps((ny, nx))
+    diag = jnp.asarray(rng.uniform(1.0, 2.0, n).astype(np.float32))
+    off = jnp.asarray(rng.standard_normal((n, 4)).astype(np.float32) * 0.1)
+    x = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    b = jnp.asarray(rng.standard_normal(n).astype(np.float32))
+    diag2 = diag.reshape(ny, nx)
+    off2 = off.T.reshape(4, ny, nx)
+    x2, b2 = x.reshape(ny, nx), b.reshape(ny, nx)
+
+    np.testing.assert_allclose(ops.spmv2(diag2, off2, x2).reshape(-1),
+                               ops.spmv(diag, off, x), rtol=1e-6)
+    np.testing.assert_allclose(
+        ops.smooth_rbgs2(diag2, off2, x2, b2, sweeps=2).reshape(-1),
+        ops.smooth_rbgs(diag, off, x, b, sweeps=2), rtol=1e-6)
+    cg = (7, 11)
+    np.testing.assert_allclose(ops.restrict2(cg, x2).reshape(-1),
+                               ops.restrict_to(cg, x), rtol=1e-6)
+    xc = jnp.asarray(rng.standard_normal(cg[0] * cg[1]).astype(np.float32))
+    np.testing.assert_allclose(ops.prolong2(cg, xc.reshape(cg)).reshape(-1),
+                               ops.prolong_from(cg, xc), rtol=1e-6)
+
+
 def test_jacobi_then_amg_preconditioner(bstep_mesh):
     """Reference amg_test.rs: both preconditioners give finite bounded p."""
     for precond in (PRECOND_JACOBI, PRECOND_AMG):
