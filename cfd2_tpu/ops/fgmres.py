@@ -88,13 +88,42 @@ def fgmres_solve(
             w = matvec(z)
             Z = lax.dynamic_update_index_in_dim(Z, z, j, 0)
 
-            # Classical Gram-Schmidt against the whole basis, masked to i<=j
-            # (stale rows from earlier restarts are masked out).
-            dots = jnp.einsum("i...,...->i", V, w,
-                              preferred_element_type=jnp.float32)
-            dots = jnp.where(idx <= j, dots, 0.0)
-            w = w - jnp.einsum("i,i...->...", dots, V,
-                               preferred_element_type=jnp.float32)
+            # Classical Gram-Schmidt against the basis, masked to i<=j (stale
+            # rows from earlier restarts are masked out).  The basis is
+            # processed in static chunks gated on j: iteration j only needs
+            # rows 0..j, and reading all m+1 rows of V twice dominated the
+            # per-iteration cost at >=1M cells (TPU conditionals execute only
+            # the taken branch, so skipped chunks cost no HBM traffic).
+            # Masked-out rows contribute exact zeros, so the result is
+            # identical to the unchunked form.
+            n_chunks = 3 if (m + 1) % 3 == 0 else 1
+            ch = (m + 1) // n_chunks
+            dots_parts = []
+            proj = jnp.zeros_like(w)
+            for c in range(n_chunks):
+                start = c * ch
+                Vc = lax.slice_in_dim(V, start, start + ch, axis=0)
+                maskc = idx[start:start + ch] <= j
+
+                def _chunk(Vc=Vc, maskc=maskc):
+                    d = jnp.einsum("i...,...->i", Vc, w,
+                                   preferred_element_type=jnp.float32)
+                    d = jnp.where(maskc, d, 0.0)
+                    p = jnp.einsum("i,i...->...", d, Vc,
+                                   preferred_element_type=jnp.float32)
+                    return d, p
+
+                if start == 0:
+                    d, p = _chunk()
+                else:
+                    d, p = lax.cond(
+                        j >= start, _chunk,
+                        lambda: (jnp.zeros((ch,), dtype), jnp.zeros_like(w)))
+                dots_parts.append(d)
+                proj = proj + p
+            dots = (dots_parts[0] if n_chunks == 1
+                    else jnp.concatenate(dots_parts))
+            w = w - proj
 
             hnorm = _norm(w)
             v_next = jnp.where(hnorm > 0.0, 1.0 / jnp.maximum(hnorm, 1e-30), 0.0) * w
