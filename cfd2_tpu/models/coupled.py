@@ -88,7 +88,12 @@ def check_evolution(state: SolverState, config: SolverConfig,
 
     degen = jnp.where(~evolving & uniform, state.degenerate_count + 1, 0)
     steady = jnp.where(~evolving & ~uniform, state.steady_count + 1, 0)
-    stop = state.should_stop | (degen > config.stop_count) | (steady > config.stop_count)
+    # Divergence surfaces through should_stop on the fused path too (the
+    # reference panics on NaN outer residuals; step_host raises on the host).
+    diverged = jnp.isnan(state.outer_residual_u) | \
+        jnp.isnan(state.outer_residual_p)
+    stop = state.should_stop | (degen > config.stop_count) \
+        | (steady > config.stop_count) | diverged
 
     return replace(state, prev_u=u, degenerate_count=degen,
                    steady_count=steady, should_stop=stop)
@@ -268,7 +273,11 @@ def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     """
     def body(carry, _):
         state, params = carry
-        state = step(mesh, state, params, config, amg)
+        # Freeze once stopped (degenerate/steady/diverged): remaining scanned
+        # steps become no-ops instead of burning full solves on NaN fields.
+        state = lax.cond(state.should_stop,
+                         lambda s: s,
+                         lambda s: step(mesh, s, params, config, amg), state)
         metrics = {
             "time": state.time,
             "outer_iters": state.outer_iters,
@@ -300,7 +309,9 @@ def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
         new_dt = jnp.minimum(new_dt, params.dt * 1.2)   # growth limit
         new_dt = jnp.where(max_vel > 1e-6, new_dt, params.dt)
         params = replace(params, dt_old=params.dt, dt=new_dt)
-        state = step(mesh, state, params, config, amg)
+        state = lax.cond(state.should_stop,
+                         lambda s: s,
+                         lambda s: step(mesh, s, params, config, amg), state)
         metrics = {"time": state.time, "dt": params.dt, "max_vel": max_vel,
                    "outer_iters": state.outer_iters,
                    "should_stop": state.should_stop}

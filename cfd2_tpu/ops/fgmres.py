@@ -96,14 +96,14 @@ def fgmres_solve(
             # the taken branch, so skipped chunks cost no HBM traffic).
             # Masked-out rows contribute exact zeros, so the result is
             # identical to the unchunked form.
-            n_chunks = 3 if (m + 1) % 3 == 0 else 1
-            ch = (m + 1) // n_chunks
+            n_chunks = min(3, m + 1)
+            ch = -(-(m + 1) // n_chunks)           # ceil; works for any m
             dots_parts = []
             proj = jnp.zeros_like(w)
-            for c in range(n_chunks):
-                start = c * ch
-                Vc = lax.slice_in_dim(V, start, start + ch, axis=0)
-                maskc = idx[start:start + ch] <= j
+            for start in range(0, m + 1, ch):
+                size = min(ch, m + 1 - start)
+                Vc = lax.slice_in_dim(V, start, start + size, axis=0)
+                maskc = idx[start:start + size] <= j
 
                 def _chunk(Vc=Vc, maskc=maskc):
                     d = jnp.einsum("i...,...->i", Vc, w,
@@ -118,10 +118,11 @@ def fgmres_solve(
                 else:
                     d, p = lax.cond(
                         j >= start, _chunk,
-                        lambda: (jnp.zeros((ch,), dtype), jnp.zeros_like(w)))
+                        lambda size=size: (jnp.zeros((size,), dtype),
+                                           jnp.zeros_like(w)))
                 dots_parts.append(d)
                 proj = proj + p
-            dots = (dots_parts[0] if n_chunks == 1
+            dots = (dots_parts[0] if len(dots_parts) == 1
                     else jnp.concatenate(dots_parts))
             w = w - proj
 

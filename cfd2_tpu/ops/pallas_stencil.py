@@ -99,7 +99,7 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
                           block_rows=block_rows, nx=nx),
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),      # xpad (DMA'd manually)
+            pl.BlockSpec(memory_space=pl.ANY),         # xpad (DMA'd manually)
             blk(),                                      # diag
             blk(), blk(), blk(), blk(),                 # off E/W/N/S
             blk(),                                      # b

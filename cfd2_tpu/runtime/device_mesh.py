@@ -298,11 +298,14 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         keep = np.zeros(n_e, dtype=bool)
         keep[ordk] = first
         keep &= has_dir
-        if (e_internal & has_dir & ~keep).any():
-            # Two internal faces share a direction slot: not a uniform grid.
-            return encode_mesh(mesh, dtype=dtype, structured="never")
-        if (e_internal & ~has_dir).any():
-            return encode_mesh(mesh, dtype=dtype, structured="never")
+        if (e_internal & has_dir & ~keep).any() or (e_internal & ~has_dir).any():
+            # Two internal faces share a direction slot / unassigned internal
+            # face: not a uniform grid.  Fall back to the generic path,
+            # forwarding the caller's sharding-padding request (harmless
+            # there, but shard_state will reject non-structured meshes with a
+            # clear error instead of a stale-padding one).
+            return encode_mesh(mesh, dtype=dtype, structured="never",
+                               pad_rows_to=pad_rows_to, pad_cols_to=pad_cols_to)
         e_slot[keep] = dir_slot[keep]
         # Extras: rank within cell.
         idxe = np.nonzero(~keep)[0]

@@ -119,6 +119,7 @@ int64_t meshkern_poisson_disk(
     };
 
     std::vector<int64_t> active;
+    if (nb > max_out) nb = max_out;  // out is caller-allocated (max_out, 2)
     for (int64_t i = 0; i < nb; ++i) {
         xs.push_back(boundary[2 * i]);
         ys.push_back(boundary[2 * i + 1]);
