@@ -249,9 +249,13 @@ def _deferred_correction(mesh, state, flux, config):
     return corr_u, corr_v
 
 
-def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
-                     config: SolverConfig) -> BlockSystem:
-    """Assemble the coupled block system + scalar pressure matrix."""
+def _assemble_parts(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+                    config: SolverConfig) -> dict:
+    """Shared coefficient computation for both system containers.
+
+    Returns the per-slot (N, K) off-diagonal coefficient arrays and the (N,)
+    diagonals/RHS of the coupled system (coupled_assembly_merged.wgsl math).
+    """
     mask = mesh.ck_mask
     is_b = mesh.ck_is_boundary
     internal = mask * (1.0 - is_b)
@@ -351,29 +355,77 @@ def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     diag_pp = jnp.where(valid > 0, diag_pp, 1.0)
     P_diag = jnp.where(valid > 0, P_diag, 1.0)
 
-    # ---- pack blocks ----
-    zero_nk = jnp.zeros_like(flux)
-    A_off = jnp.stack([
-        jnp.stack([off_mom, zero_nk, off_up], axis=-1),
-        jnp.stack([zero_nk, off_mom, off_vp], axis=-1),
-        jnp.stack([off_pu, off_pv, off_pp], axis=-1),
-    ], axis=-2)                                            # (N, K, 3, 3)
-
-    zero_n = jnp.zeros_like(diag_u)
-    A_diag = jnp.stack([
-        jnp.stack([diag_u, zero_n, diag_up], axis=-1),
-        jnp.stack([zero_n, diag_v, diag_vp], axis=-1),
-        jnp.stack([diag_pu, diag_pv, diag_pp], axis=-1),
-    ], axis=-2)                                            # (N, 3, 3)
-
     rhs = jnp.stack([rhs_u, rhs_v, rhs_p], axis=-1) * valid[:, None]
 
-    def safe_inv(x):
-        return jnp.where(jnp.abs(x) > 1e-14, 1.0 / x, 0.0)
+    return dict(
+        off_mom=off_mom, off_up=off_up, off_vp=off_vp,
+        off_pu=off_pu, off_pv=off_pv, off_pp=off_pp, P_off=P_off,
+        diag_u=diag_u, diag_v=diag_v, diag_up=diag_up, diag_vp=diag_vp,
+        diag_pu=diag_pu, diag_pv=diag_pv, diag_pp=diag_pp, P_diag=P_diag,
+        rhs=rhs,
+    )
+
+
+def _safe_inv(x):
+    return jnp.where(jnp.abs(x) > 1e-14, 1.0 / x, 0.0)
+
+
+def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
+                     config: SolverConfig) -> BlockSystem:
+    """Assemble the coupled block system + scalar pressure matrix."""
+    c = _assemble_parts(mesh, state, params, config)
+
+    zero_nk = jnp.zeros_like(c["off_mom"])
+    A_off = jnp.stack([
+        jnp.stack([c["off_mom"], zero_nk, c["off_up"]], axis=-1),
+        jnp.stack([zero_nk, c["off_mom"], c["off_vp"]], axis=-1),
+        jnp.stack([c["off_pu"], c["off_pv"], c["off_pp"]], axis=-1),
+    ], axis=-2)                                            # (N, K, 3, 3)
+
+    zero_n = jnp.zeros_like(c["diag_u"])
+    A_diag = jnp.stack([
+        jnp.stack([c["diag_u"], zero_n, c["diag_up"]], axis=-1),
+        jnp.stack([zero_n, c["diag_v"], c["diag_vp"]], axis=-1),
+        jnp.stack([c["diag_pu"], c["diag_pv"], c["diag_pp"]], axis=-1),
+    ], axis=-2)                                            # (N, 3, 3)
 
     return BlockSystem(
-        A_diag=A_diag, A_off=A_off, rhs=rhs,
-        P_diag=P_diag, P_off=P_off,
-        diag_u_inv=safe_inv(diag_u), diag_v_inv=safe_inv(diag_v),
-        diag_p_inv=safe_inv(P_diag),
+        A_diag=A_diag, A_off=A_off, rhs=c["rhs"],
+        P_diag=c["P_diag"], P_off=c["P_off"],
+        diag_u_inv=_safe_inv(c["diag_u"]), diag_v_inv=_safe_inv(c["diag_v"]),
+        diag_p_inv=_safe_inv(c["P_diag"]),
+    )
+
+
+def assemble_stencil(mesh: DeviceMesh, state: SolverState,
+                     params: SolverParams, config: SolverConfig):
+    """Assemble the coupled system in 2D-native stencil form (structured
+    meshes only; see ops/stencil_system.py).  Skips the (N, K, 3, 3) block
+    materialization entirely: only the 6 structurally-nonzero block entries
+    per slot are kept, each as a (4, ny, nx) grid."""
+    from ..ops.stencil_system import StencilSystem
+
+    assert mesh.structured, "stencil assembly requires a structured mesh"
+    ny, nx = mesh.grid_shape
+    c = _assemble_parts(mesh, state, params, config)
+
+    def off2(a):                        # (N, K) -> (4, ny, nx)
+        return jnp.moveaxis(a[:, :4], 1, 0).reshape(4, ny, nx)
+
+    def d2(a):                          # (N,) -> (ny, nx)
+        return a.reshape(ny, nx)
+
+    return StencilSystem(
+        grid=(ny, nx),
+        off_mom=off2(c["off_mom"]), off_up=off2(c["off_up"]),
+        off_vp=off2(c["off_vp"]), off_pu=off2(c["off_pu"]),
+        off_pv=off2(c["off_pv"]), off_pp=off2(c["off_pp"]),
+        P_off2=off2(c["P_off"]),
+        diag_u2=d2(c["diag_u"]), diag_up2=d2(c["diag_up"]),
+        diag_vp2=d2(c["diag_vp"]), diag_pu2=d2(c["diag_pu"]),
+        diag_pv2=d2(c["diag_pv"]), diag_pp2=d2(c["diag_pp"]),
+        P_diag2=d2(c["P_diag"]),
+        diag_u_inv2=d2(_safe_inv(c["diag_u"])),
+        diag_p_inv2=d2(_safe_inv(c["P_diag"])),
+        rhs=c["rhs"],
     )

@@ -64,10 +64,63 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         stagnation_limit=config.fgmres_stagnation_limit)
 
 
+def _use_stencil_path(mesh, config, amg) -> bool:
+    """The 2D-native stencil system covers the Schur-preconditioned flows on
+    structured meshes (the hot configurations); block-Jacobi and generic
+    meshes keep the block-ELL path."""
+    if not mesh.structured or config.precond_type == PRECOND_BLOCK_JACOBI:
+        return False
+    if config.precond_type == PRECOND_AMG:
+        from ..ops.amg import StructuredAmgHierarchy
+        return isinstance(amg, StructuredAmgHierarchy)
+    return True
+
+
+def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
+    """Assemble the coupled system (stencil form on structured meshes,
+    block-ELL otherwise) and run one preconditioned FGMRES solve."""
+    if _use_stencil_path(mesh, config, amg):
+        from ..ops import stencil_system as st
+        from .assembly import assemble_stencil
+        ss = assemble_stencil(mesh, state, params, config)
+        matvec = lambda x: st.spmv(ss, x)
+        ps = (st.make_pressure_solve2(amg, ss)
+              if config.precond_type == PRECOND_AMG else None)
+        precond = lambda r: st.schur_precond(
+            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps)
+        x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+        return fgmres_solve(
+            matvec, precond, ss.rhs, x0,
+            restart=config.fgmres_restart,
+            max_restarts=config.fgmres_max_restarts,
+            tol=config.fgmres_tol if tol is None else tol,
+            abstol=config.fgmres_abstol,
+            stagnation_tol=config.fgmres_stagnation_tol,
+            stagnation_limit=config.fgmres_stagnation_limit)
+
+    sys = assemble_coupled(mesh, state, params, config)
+    if config.precond_type == PRECOND_AMG and amg is not None:
+        from ..ops.amg import make_pressure_solve
+        pressure_solve = make_pressure_solve(amg, mesh, sys)
+    else:
+        pressure_solve = None
+    return _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,
+                         tol=tol)
+
+
 def check_evolution(state: SolverState, config: SolverConfig,
                     valid: jnp.ndarray | None = None) -> SolverState:
     """On-device steady-state / degeneracy classifier
     (reference coupled_solver.rs:501-580, there a full GPU->CPU readback).
+
+    Statistic parity note: the reference pushes (var_u, var_v) into a
+    10-deep ``variance_history`` (coupled_solver.rs:527-530) but never reads
+    it back — its classification (:552-566) uses only the *current* variance
+    plus the RMSE-vs-previous-step evolution test and consecutive-hit
+    counters, which is exactly what this function computes.  The dead history
+    buffer is deliberately not ported.  Thresholds and the >10-consecutive-
+    hits contract match (:546-548, :569-580); tests/test_physics.py drives a
+    degenerate case to ``should_stop`` under that contract.
 
     ``valid`` masks out structured-layout solid cells so statistics match the
     reference's fluid-cells-only readback."""
@@ -134,19 +187,13 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                              lambda s: prepare(mesh, s, params, config),
                              lambda s: s, state)
 
-        sys = assemble_coupled(mesh, state, params, config)
-        if config.precond_type == PRECOND_AMG and amg is not None:
-            from ..ops.amg import make_pressure_solve
-            pressure_solve = make_pressure_solve(amg, mesh, sys)
-        else:
-            pressure_solve = None
         if config.adaptive_linear_tol:
             lin_tol = jnp.maximum(jnp.asarray(config.fgmres_tol, jnp.float32),
                                   10.0 ** (-(3.0 + it.astype(jnp.float32))))
         else:
             lin_tol = None
-        result = _solve_linear(mesh, sys, state, config, n_sweeps,
-                               pressure_solve, tol=lin_tol)
+        result = _assemble_and_solve(mesh, state, params, config, amg,
+                                     n_sweeps, lin_tol)
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
@@ -201,14 +248,8 @@ def outer_iteration(mesh: DeviceMesh, state: SolverState,
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
     if do_prepare:
         state = prepare(mesh, state, params, config)
-    sys = assemble_coupled(mesh, state, params, config)
-    if config.precond_type == PRECOND_AMG and amg is not None:
-        from ..ops.amg import make_pressure_solve
-        pressure_solve = make_pressure_solve(amg, mesh, sys)
-    else:
-        pressure_solve = None
-    result = _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,
-                           tol=lin_tol)
+    result = _assemble_and_solve(mesh, state, params, config, amg,
+                                 n_sweeps, lin_tol)
     u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
     p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
     diff_u = jnp.max(jnp.abs(u_new - state.u))

@@ -7,10 +7,12 @@ readbacks for convergence; here the entire solve — classical Gram–Schmidt,
 Hessenberg/Givens updates, convergence tests, restarts, stagnation detection —
 runs inside nested ``lax.while_loop``s with zero host round-trips:
 
-* the Krylov basis V (m+1, N, 3) and preconditioned basis Z (m, N, 3) are
-  dense arrays; CGS is one einsum against the whole basis (MXU) with an
-  index mask, replacing the 3-kernel dot/reduce/update pass
-  (coupled_solver_fgmres.rs:2036-2084);
+* the Krylov basis V (m+1, D) and preconditioned basis Z (m, D) are dense
+  *flattened* arrays (D = prod of the vector shape): CGS is then a pair of
+  plain matrix-vector products that stream the basis rows at HBM bandwidth.
+  The earlier (m+1, N, 3) layout left the 3-wide component axis minor-most,
+  which cost ~3x the roofline traffic in practice.  The user-facing
+  matvec/precond still see the natural (N, 3) shape;
 * Givens/Hessenberg logic operates on (m+1,) vectors on-device, replacing the
   reference's workgroup_size(1) shader (gmres_logic.wgsl);
 * the restart triangular solve is a masked dense solve.
@@ -54,20 +56,27 @@ def fgmres_solve(
     abstol: float = 1e-7,
     stagnation_tol: float = 1e-3,
     stagnation_limit: int = 3,
+    cgs_chunk_rows: int = 8,
 ) -> FgmresResult:
     """Solve A x = b; vectors have shape (N, 3) (or any fixed shape)."""
     m = restart
     shape = b.shape
     dtype = b.dtype
 
-    rhs_norm = _norm(b)
+    # Work on flattened vectors internally; user callables see `shape`.
+    bf = b.reshape(-1)
+    D = bf.shape[0]
+    mv = lambda xf: matvec(xf.reshape(shape)).reshape(-1)
+    pc = lambda rf: precond(rf.reshape(shape)).reshape(-1)
+
+    rhs_norm = _norm(bf)
     target = jnp.maximum(tol * rhs_norm, abstol)
 
-    r0 = b - matvec(x0)
+    r0 = bf - mv(x0.reshape(-1))
     beta0 = _norm(r0)
 
-    V0 = jnp.zeros((m + 1,) + shape, dtype)
-    Z0 = jnp.zeros((m,) + shape, dtype)
+    V0 = jnp.zeros((m + 1, D), dtype)
+    Z0 = jnp.zeros((m, D), dtype)
     H0 = jnp.zeros((m + 1, m), dtype)
 
     def inner_cycle(x, V, Z, H, beta):
@@ -84,8 +93,8 @@ def fgmres_solve(
         def body(carry):
             V, Z, H, cs, sn, g, j, conv = carry
             v_j = V[j]
-            z = precond(v_j)
-            w = matvec(z)
+            z = pc(v_j)
+            w = mv(z)
             Z = lax.dynamic_update_index_in_dim(Z, z, j, 0)
 
             # Classical Gram-Schmidt against the basis, masked to i<=j (stale
@@ -96,8 +105,7 @@ def fgmres_solve(
             # the taken branch, so skipped chunks cost no HBM traffic).
             # Masked-out rows contribute exact zeros, so the result is
             # identical to the unchunked form.
-            n_chunks = min(3, m + 1)
-            ch = -(-(m + 1) // n_chunks)           # ceil; works for any m
+            ch = max(1, min(cgs_chunk_rows, m + 1))
             dots_parts = []
             proj = jnp.zeros_like(w)
             for start in range(0, m + 1, ch):
@@ -106,11 +114,9 @@ def fgmres_solve(
                 maskc = idx[start:start + size] <= j
 
                 def _chunk(Vc=Vc, maskc=maskc):
-                    d = jnp.einsum("i...,...->i", Vc, w,
-                                   preferred_element_type=jnp.float32)
+                    d = Vc @ w
                     d = jnp.where(maskc, d, 0.0)
-                    p = jnp.einsum("i,i...->...", d, Vc,
-                                   preferred_element_type=jnp.float32)
+                    p = d @ Vc
                     return d, p
 
                 if start == 0:
@@ -186,8 +192,7 @@ def fgmres_solve(
         Heff = H[:m, :m] + jnp.diag(jnp.where(km >= j, 1.0, 0.0).astype(dtype))
         geff = jnp.where(km < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Heff, geff, lower=False)
-        x = x + jnp.einsum("i,i...->...", y, Z,
-                           preferred_element_type=jnp.float32)
+        x = x + y @ Z
         return x, V, Z, H, j, conv
 
     def outer_cond(carry):
@@ -197,7 +202,7 @@ def fgmres_solve(
     def outer_body(carry):
         (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
         # Seed V[0] = r / beta.
-        r = b - matvec(x)
+        r = bf - mv(x)
         rn = _norm(r)
         v0 = jnp.where(rn > 0.0, 1.0 / jnp.maximum(rn, 1e-30), 0.0) * r
         V = V.at[0].set(v0)
@@ -206,7 +211,7 @@ def fgmres_solve(
         total = total + j
 
         # True residual after the cycle (coupled_solver_fgmres.rs:2354-2373).
-        r_new = b - matvec(x)
+        r_new = bf - mv(x)
         res_new = _norm(r_new)
         conv_new = res_new < target
 
@@ -219,10 +224,11 @@ def fgmres_solve(
         return (x, V, Z, H, res_new, k + 1, total, conv_new,
                 stag_new, res_new, res_new)
 
-    init = (x0, V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
+    init = (x0.reshape(-1), V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
             beta0 < target, jnp.int32(0),
             jnp.asarray(jnp.finfo(dtype).max, dtype), beta0)
     (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = \
         lax.while_loop(outer_cond, outer_body, init)
 
-    return FgmresResult(x=x, iterations=total, residual=res, converged=conv)
+    return FgmresResult(x=x.reshape(shape), iterations=total, residual=res,
+                        converged=conv)

@@ -1,0 +1,204 @@
+"""2D-native coupled operator for structured meshes.
+
+The block-ELL container (ops/blockell.py) stores the coupled system as
+(N, K, 3, 3) blocks and applies it through ``mesh.gather`` — which on the
+structured fast path still materializes (N, K, ...) intermediates and reads
+the 36-entry blocks even though only 6 entries per block are structurally
+nonzero (momentum off-diagonals are diagonal 2x2; see
+reference shaders/coupled_assembly_merged.wgsl:295-350 for the block shape).
+
+On TPU the profile showed those (N, K) stack/reshape chains lowering to
+relayout kernels inside the FGMRES while_loop — the same failure mode that
+motivated the 2D-native V-cycle (ops/amg.py _GridOps).  This module keeps the
+*entire* Krylov hot path in (ny, nx) grid form:
+
+* :class:`StencilSystem` holds only the 6 nonzero block-entry coefficient
+  grids per directional slot, each (4, ny, nx), plus (ny, nx) diagonals —
+  144 -> 96 coefficient bytes/cell and zero gathers;
+* :func:`spmv` and :func:`schur_precond` are pure fused stencils (shifts +
+  multiply-accumulate) mirroring ops/blockell.block_spmv and
+  ops/schur.schur_preconditioner exactly (tests/test_stencil_system.py pins
+  f32 agreement).
+
+Off-diagonal coefficients are identically zero at boundary/extra slots (the
+assembly multiplies them by the internal-face mask), so edge-clamped shifts
+never contribute.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _shifts2(xg: jnp.ndarray):
+    """Edge-clamped E, W, N, S neighbor grids of an (ny, nx) array."""
+    e = jnp.concatenate([xg[:, 1:], xg[:, -1:]], axis=1)
+    w = jnp.concatenate([xg[:, :1], xg[:, :-1]], axis=1)
+    n = jnp.concatenate([xg[1:], xg[-1:]], axis=0)
+    s = jnp.concatenate([xg[:1], xg[:-1]], axis=0)
+    return e, w, n, s
+
+
+def _dot4(off: jnp.ndarray, sh) -> jnp.ndarray:
+    """sum_s off[s] * sh[s] for the 4 directional slots."""
+    return off[0] * sh[0] + off[1] * sh[1] + off[2] * sh[2] + off[3] * sh[3]
+
+
+@dataclass
+class StencilSystem:
+    """Coupled (u,v,p) system on an (ny, nx) grid, stencil layout.
+
+    Block entry names follow the coupled matrix
+        [ A_uu   0     G_u ]   row u: off_mom, off_up
+        [ 0      A_vv  G_v ]   row v: off_mom, off_vp
+        [ D_u    D_v   C   ]   row p: off_pu, off_pv, off_pp
+    (A_uu == A_vv by construction; diag_v == diag_u likewise).
+    """
+    grid: tuple                  # static (ny, nx)
+    # (4, ny, nx): per-slot off-diagonal coefficients, slots E,W,N,S
+    off_mom: jnp.ndarray
+    off_up: jnp.ndarray
+    off_vp: jnp.ndarray
+    off_pu: jnp.ndarray
+    off_pv: jnp.ndarray
+    off_pp: jnp.ndarray
+    P_off2: jnp.ndarray          # scalar pressure (Schur) off-diagonals
+    # (ny, nx) diagonals
+    diag_u2: jnp.ndarray
+    diag_up2: jnp.ndarray
+    diag_vp2: jnp.ndarray
+    diag_pu2: jnp.ndarray
+    diag_pv2: jnp.ndarray
+    diag_pp2: jnp.ndarray
+    P_diag2: jnp.ndarray
+    diag_u_inv2: jnp.ndarray
+    diag_p_inv2: jnp.ndarray
+    rhs: jnp.ndarray             # (N, 3)
+
+    def __post_init__(self):
+        # `grid` is static metadata (meta field), not a traced child.
+        self.grid = tuple(self.grid)
+
+
+jax.tree_util.register_dataclass(
+    StencilSystem,
+    data_fields=[f for f in StencilSystem.__dataclass_fields__
+                 if f != "grid"],
+    meta_fields=["grid"],
+)
+
+
+def _split3(x: jnp.ndarray, grid):
+    ny, nx = grid
+    return (x[:, 0].reshape(ny, nx), x[:, 1].reshape(ny, nx),
+            x[:, 2].reshape(ny, nx))
+
+
+def spmv(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x, x of shape (N, 3).  Matches ops/blockell.block_spmv on
+    structured meshes to f32 roundoff."""
+    xu, xv, xp = _split3(x, ss.grid)
+    su = _shifts2(xu)
+    sv = _shifts2(xv)
+    sp = _shifts2(xp)
+
+    yu = ss.diag_u2 * xu + ss.diag_up2 * xp \
+        + _dot4(ss.off_mom, su) + _dot4(ss.off_up, sp)
+    yv = ss.diag_u2 * xv + ss.diag_vp2 * xp \
+        + _dot4(ss.off_mom, sv) + _dot4(ss.off_vp, sp)
+    yp = ss.diag_pu2 * xu + ss.diag_pv2 * xv + ss.diag_pp2 * xp \
+        + _dot4(ss.off_pu, su) + _dot4(ss.off_pv, sv) + _dot4(ss.off_pp, sp)
+
+    return jnp.stack([yu.reshape(-1), yv.reshape(-1), yp.reshape(-1)], axis=1)
+
+
+def chebyshev_pressure_solve2(ss: StencilSystem, rhs_p2: jnp.ndarray,
+                              omega: float, n_sweeps: int) -> jnp.ndarray:
+    """2D form of ops/schur.chebyshev_pressure_solve (two-term damped-Jacobi
+    recurrence, reference schur_precond.wgsl:49-90)."""
+    x0 = ss.diag_p_inv2 * rhs_p2
+    x_prev = jnp.zeros_like(rhs_p2)
+
+    def sweep(_, carry):
+        x_prev, x_cur = carry
+        sigma = _dot4(ss.P_off2, _shifts2(x_cur))
+        hat = ss.diag_p_inv2 * (rhs_p2 - sigma)
+        x_new = x_prev + omega * (hat - x_prev)
+        return (x_cur, x_new)
+
+    _, x = lax.fori_loop(0, n_sweeps, sweep, (x_prev, x0))
+    return x
+
+
+def schur_precond(ss: StencilSystem, r: jnp.ndarray, omega: float,
+                  n_sweeps: int, pressure_solve=None) -> jnp.ndarray:
+    """Apply the SIMPLE/Schur preconditioner M^{-1} r, all-stencil.
+
+    Matches ops/schur.schur_preconditioner (reference schur_precond.wgsl):
+    predict -> Schur RHS -> pressure solve -> velocity correct.
+    ``pressure_solve`` takes and returns an (ny, nx) grid; defaults to the
+    Chebyshev sweeps.
+    """
+    ru, rv, rp = _split3(r, ss.grid)
+
+    # 1. Predict velocity.
+    z_u = ss.diag_u_inv2 * ru
+    z_v = ss.diag_u_inv2 * rv
+
+    # 2. Schur RHS: r_p' = r_p - D z.
+    rhs_p = rp - ss.diag_pu2 * z_u - ss.diag_pv2 * z_v \
+        - _dot4(ss.off_pu, _shifts2(z_u)) - _dot4(ss.off_pv, _shifts2(z_v))
+
+    # 3. Pressure solve.
+    if pressure_solve is None:
+        z_p = chebyshev_pressure_solve2(ss, rhs_p, omega, n_sweeps)
+    else:
+        z_p = pressure_solve(rhs_p)
+
+    # 4. Correct velocity with the gradient blocks G.
+    sp = _shifts2(z_p)
+    g_u = ss.diag_up2 * z_p + _dot4(ss.off_up, sp)
+    g_v = ss.diag_vp2 * z_p + _dot4(ss.off_vp, sp)
+    z_u = z_u - ss.diag_u_inv2 * g_u
+    z_v = z_v - ss.diag_u_inv2 * g_v
+
+    return jnp.stack([z_u.reshape(-1), z_v.reshape(-1), z_p.reshape(-1)],
+                     axis=1)
+
+
+def make_pressure_solve2(hier, ss: StencilSystem):
+    """Structured-multigrid pressure solve taking/returning (ny, nx) grids.
+
+    The flat P_off layout expected by compute_structured_level_values is
+    slot-major — exactly P_off2's memory order, so no transpose is needed.
+    """
+    from .amg import (
+        StructuredAmgHierarchy,
+        _GridOps,
+        _dense_factor,
+        compute_structured_level_values,
+        structured_level_values_2d,
+        structured_v_cycle,
+    )
+
+    assert isinstance(hier, StructuredAmgHierarchy)
+    n = ss.grid[0] * ss.grid[1]
+    level_values = compute_structured_level_values(
+        hier, ss.P_diag2.reshape(-1),
+        jnp.moveaxis(ss.P_off2.reshape(4, n), 0, 1))
+    dc, oc = level_values[-1]
+    factors = _dense_factor(
+        dc, oc, _GridOps(hier.levels[-1].grid).neighbor_cols())
+    lv2 = structured_level_values_2d(hier, level_values)
+
+    def pressure_solve(rhs_p2):
+        x0 = ss.diag_p_inv2 * rhs_p2
+        out = structured_v_cycle(hier, lv2, rhs_p2.reshape(-1),
+                                 x0.reshape(-1), coarse_factors=factors)
+        return out.reshape(ss.grid)
+
+    return pressure_solve

@@ -41,9 +41,9 @@ def test_channel_obstacle_no_divergence():
         if s.should_stop:
             assert s.degenerate_count <= 10, "degenerate solution"
             break
-        if step_i % 10 == 0:
-            assert np.isfinite(max_vel), f"NaN at step {step_i}"
-            assert max_vel < 20.0, f"divergence at step {step_i}: {max_vel}"
+        # Every step, like the reference (gpu_divergence_test.rs:62-76).
+        assert np.isfinite(max_vel), f"NaN at step {step_i}"
+        assert max_vel < 20.0, f"divergence at step {step_i}: {max_vel}"
 
 
 def test_water_backwards_step():

@@ -47,3 +47,27 @@ def test_poiseuille_profile():
         colx = (mesh.cell_cx > x0 - 0.05) & (mesh.cell_cx < x0)
         flux = (u[colx, 0] * mesh.cell_vol[colx]).sum() / 0.05
         assert abs(flux - 1.0) < 0.05, f"mass flux at x={x0}: {flux}"
+
+
+def test_degenerate_case_trips_should_stop():
+    """A zero-inlet, zero-initial-field run is uniform and non-evolving:
+    the classifier must count stop_count+1 consecutive degenerate hits and
+    set should_stop (reference contract coupled_solver.rs:546-580;
+    gpu_divergence_test.rs panics on degenerate_count > 10)."""
+    geo = RectangularChannel(length=1.0, height=1.0)
+    mesh = generate_cut_cell_mesh(geo, 0.1, 0.1, 1.2, (1.0, 1.0))
+    s = CoupledSolver(mesh)
+    s.set_inlet_velocity(0.0)
+    s.set_dt(0.01)
+    hits = s.config.stop_count
+    for i in range(hits + 5):
+        s.step()
+        if s.should_stop:
+            break
+    assert s.should_stop
+    assert s.degenerate_count > hits
+    assert s.steady_state_count == 0
+    # Fused multi-step freezes once stopped instead of burning solves.
+    t_before = float(s.state.time)
+    s.run(3)
+    assert float(s.state.time) == t_before

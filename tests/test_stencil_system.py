@@ -1,0 +1,94 @@
+"""StencilSystem (2D-native coupled operator) parity with the block-ELL path.
+
+The stencil system is the structured-mesh hot path; these tests pin its SpMV,
+Schur preconditioner, and full linear solve to the generic block-ELL
+formulation at f32 roundoff."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+from cfd2_tpu.models.assembly import (assemble_coupled, assemble_stencil,
+                                      prepare)
+from cfd2_tpu.ops import stencil_system as st
+from cfd2_tpu.ops.blockell import block_spmv
+from cfd2_tpu.ops.schur import schur_preconditioner
+from cfd2_tpu.runtime.device_mesh import encode_mesh
+from cfd2_tpu.runtime.state import SolverConfig, SolverParams, initial_state
+
+
+@pytest.fixture(scope="module")
+def setup():
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    dm = encode_mesh(mesh)
+    assert dm.structured
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.01)
+    u0 = np.zeros((mesh.num_cells, 2))
+    u0[mesh.cell_cx < 0.05, 0] = 1.0
+    state = initial_state(dm, u0=u0)
+    state = jax.jit(prepare, static_argnames=("config",))(
+        dm, state, params, config)
+    sys_ = assemble_coupled(dm, state, params, config)
+    ss = assemble_stencil(dm, state, params, config)
+    return dm, config, sys_, ss
+
+
+def _rand_x(dm, seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(
+        rng.standard_normal((dm.num_cells, 3)).astype(np.float32)
+        * np.asarray(dm.c_valid)[:, None])
+
+
+def test_coefficients_match(setup):
+    dm, _, sys_, ss = setup
+    ny, nx = dm.grid_shape
+    # Off-diagonal blocks: stencil grids == block entries on slots 0..3.
+    for (a, b), name in [((0, 0), "off_mom"), ((0, 2), "off_up"),
+                         ((1, 2), "off_vp"), ((2, 0), "off_pu"),
+                         ((2, 1), "off_pv"), ((2, 2), "off_pp")]:
+        blk = np.asarray(sys_.A_off[:, :4, a, b]).T.reshape(4, ny, nx)
+        grid = np.asarray(getattr(ss, name))
+        np.testing.assert_allclose(grid, blk, rtol=0, atol=0)
+    # Slots beyond 4 carry no couplings (the stencil path drops them).
+    if sys_.A_off.shape[1] > 4:
+        assert np.abs(np.asarray(sys_.A_off[:, 4:])).max() == 0.0
+
+
+def test_spmv_matches_blockell(setup):
+    dm, _, sys_, ss = setup
+    x = _rand_x(dm)
+    y_ref = np.asarray(block_spmv(sys_, dm, x))
+    y_st = np.asarray(st.spmv(ss, x))
+    scale = np.abs(y_ref).max()
+    assert np.abs(y_st - y_ref).max() < 1e-5 * max(scale, 1.0)
+
+
+def test_schur_precond_matches(setup):
+    dm, config, sys_, ss = setup
+    r = _rand_x(dm, seed=1)
+    n_sweeps = config.pressure_sweeps(dm.num_cells)
+    z_ref = np.asarray(schur_preconditioner(
+        sys_, dm, r, config.precond_omega, n_sweeps))
+    z_st = np.asarray(st.schur_precond(
+        ss, r, config.precond_omega, n_sweeps))
+    scale = np.abs(z_ref).max()
+    assert np.abs(z_st - z_ref).max() < 1e-4 * max(scale, 1.0)
+
+
+def test_amg_pressure_solve_matches(setup):
+    dm, config, sys_, ss = setup
+    from cfd2_tpu.ops.amg import (build_hierarchy_for_mesh,
+                                  make_pressure_solve)
+    hier = build_hierarchy_for_mesh(dm)
+    rhs = _rand_x(dm, seed=2)[:, 2]
+    z_ref = np.asarray(make_pressure_solve(hier, dm, sys_)(rhs))
+    ps2 = st.make_pressure_solve2(hier, ss)
+    z_st = np.asarray(ps2(rhs.reshape(dm.grid_shape))).reshape(-1)
+    scale = np.abs(z_ref).max()
+    assert np.abs(z_st - z_ref).max() < 1e-4 * max(scale, 1.0)

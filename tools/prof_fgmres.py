@@ -4,12 +4,15 @@ Times each hot-path piece as its own small jitted program at the benchmark
 size, so compiles stay fast and every number maps to a specific kernel set:
 
   * stream     — elementwise y = x + 1 on the same bytes (HBM roofline)
-  * matvec     — block_spmv on the assembled system
+  * matvec     — block_spmv on the assembled system (block-ELL path)
+  * st_matvec  — StencilSystem spmv (2D-native structured path)
   * precond    — full Schur preconditioner (AMG V-cycle pressure solve)
+  * st_precond — 2D-native Schur preconditioner
   * vcycle     — the structured V-cycle alone
-  * cgs        — one chunked CGS step (dots + projection) at j = mid-restart
+  * cgs        — one chunked CGS step (dots + projection) at several j
+  * assemble   — block-ELL assembly; st_assemble — stencil assembly
   * fgmres30   — standalone 30-iteration FGMRES (tol=1e-12, 1 restart):
-                 end-to-end ms/iteration
+                 end-to-end ms/iteration on the stencil path
 
 Usage:  python tools/prof_fgmres.py [min_cell]   (default 0.0017 ~= 1M cells)
 """
@@ -38,13 +41,18 @@ def timeit(fn, *args, n=10, warmup=2):
 
 def main():
     min_cell = float(sys.argv[1]) if len(sys.argv) > 1 else 0.0017
+    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
+
+    def want(name):
+        return only is None or name in only
 
     from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
-    from cfd2_tpu.models.assembly import assemble_coupled, prepare
-    from cfd2_tpu.models.coupled import _solve_linear
+    from cfd2_tpu.models.assembly import (assemble_coupled, assemble_stencil,
+                                          prepare)
+    from cfd2_tpu.models.coupled import _assemble_and_solve
+    from cfd2_tpu.ops import stencil_system as st
     from cfd2_tpu.ops.amg import build_hierarchy_for_mesh, make_pressure_solve
     from cfd2_tpu.ops.blockell import block_spmv
-    from cfd2_tpu.ops.fgmres import fgmres_solve
     from cfd2_tpu.ops.schur import schur_preconditioner
     from cfd2_tpu.runtime.device_mesh import encode_mesh
     from cfd2_tpu.runtime.state import SolverConfig, SolverParams, initial_state
@@ -56,7 +64,7 @@ def main():
     dm = encode_mesh(mesh)
     n = dm.num_cells
     print(f"# mesh {mesh.num_cells} cells -> device {n} "
-          f"(grid {dm.grid_shape}) in {time.time()-t0:.1f}s")
+          f"(grid {dm.grid_shape}) in {time.time()-t0:.1f}s", flush=True)
 
     config = SolverConfig()
     params = SolverParams.default(dt=min(0.002, 0.4 * min_cell))
@@ -66,105 +74,117 @@ def main():
 
     state = jax.jit(prepare, static_argnames=("config",))(
         dm, state, params, config)
-    sys_ = jax.jit(assemble_coupled, static_argnames=("config",))(
-        dm, state, params, config)
-    jax.block_until_ready(sys_.rhs)
+    f_asm = jax.jit(assemble_coupled, static_argnames=("config",))
+    f_asm_st = jax.jit(assemble_stencil, static_argnames=("config",))
+    sys_ = f_asm(dm, state, params, config)
+    ss = f_asm_st(dm, state, params, config)
+    jax.block_until_ready(ss.rhs)
     hier = build_hierarchy_for_mesh(dm)
 
-    # --- stream roofline: same bytes as one basis vector (n, 3) ---
+    # --- stream roofline: 256 MB probe ---
     x3 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
-    big = jnp.zeros((64, n), jnp.float32)  # 256 MB-ish stream probe at 1M
+    if want("stream"):
+        big = jnp.zeros((64, n), jnp.float32)
+        ms = timeit(jax.jit(lambda v: v + 1.0), big)
+        bw = big.size * 4 * 2 / ms * 1e3 / 1e9
+        print(f"stream     {ms:8.3f} ms   ({bw:.0f} GB/s r+w)", flush=True)
 
-    ms = timeit(jax.jit(lambda v: v + 1.0), big)
-    bw = big.size * 4 * 2 / ms * 1e3 / 1e9
-    print(f"stream   {ms:8.3f} ms   ({bw:.0f} GB/s r+w)")
-
-    # --- matvec ---
-    f_mv = jax.jit(lambda s, x: block_spmv(s, dm, x))
-    ms = timeit(f_mv, sys_, x3)
-    print(f"matvec   {ms:8.3f} ms")
-
-    # --- precond (schur + AMG) ---
     n_sweeps = config.pressure_sweeps(n)
 
-    def precond(s, r):
-        return schur_preconditioner(
-            s, dm, r, config.precond_omega, n_sweeps,
-            pressure_solve=make_pressure_solve(hier, dm, s))
+    if want("assemble"):
+        ms = timeit(lambda: f_asm(dm, state, params, config), n=5)
+        print(f"assemble   {ms:8.3f} ms", flush=True)
+        ms = timeit(lambda: f_asm_st(dm, state, params, config), n=5)
+        print(f"st_assemble{ms:8.3f} ms", flush=True)
 
-    f_pc = jax.jit(precond)
-    ms = timeit(f_pc, sys_, x3)
-    print(f"precond  {ms:8.3f} ms")
+    if want("matvec"):
+        ms = timeit(jax.jit(lambda s, x: block_spmv(s, dm, x)), sys_, x3)
+        print(f"matvec     {ms:8.3f} ms", flush=True)
+        ms = timeit(jax.jit(st.spmv), ss, x3)
+        print(f"st_matvec  {ms:8.3f} ms", flush=True)
 
-    # --- V-cycle alone ---
-    def vcyc(s, r):
-        return make_pressure_solve(hier, dm, s)(r)
+    if want("precond"):
+        def precond(s, r):
+            return schur_preconditioner(
+                s, dm, r, config.precond_omega, n_sweeps,
+                pressure_solve=make_pressure_solve(hier, dm, s))
+        ms = timeit(jax.jit(precond), sys_, x3)
+        print(f"precond    {ms:8.3f} ms", flush=True)
 
-    ms = timeit(jax.jit(vcyc), sys_, state.p)
-    print(f"vcycle   {ms:8.3f} ms")
+        def precond_st(s, r):
+            return st.schur_precond(s, r, config.precond_omega, n_sweeps,
+                                    pressure_solve=st.make_pressure_solve2(
+                                        hier, s))
+        ms = timeit(jax.jit(precond_st), ss, x3)
+        print(f"st_precond {ms:8.3f} ms", flush=True)
 
-    # --- CGS step at j = 25 (dots + projection over chunked basis) ---
-    m = config.fgmres_restart
-    V = jnp.zeros((m + 1, n, 3), jnp.float32) + 0.001
-    w0 = x3 + 0.0
+    if want("vcycle"):
+        def vcyc(s, r):
+            return st.make_pressure_solve2(hier, s)(r)
+        ms = timeit(jax.jit(vcyc), ss, state.p.reshape(dm.grid_shape))
+        print(f"vcycle     {ms:8.3f} ms", flush=True)
 
-    def cgs(V, w, j):
-        idx = jnp.arange(m + 1)
-        n_chunks = 3
-        ch = -(-(m + 1) // n_chunks)
-        parts = []
-        proj = jnp.zeros_like(w)
+    # --- CGS step (flattened basis, chunk gating) at several j ---
+    if want("cgs"):
         from jax import lax
-        for start in range(0, m + 1, ch):
-            size = min(ch, m + 1 - start)
-            Vc = lax.slice_in_dim(V, start, start + size, axis=0)
-            maskc = idx[start:start + size] <= j
+        m = config.fgmres_restart
+        D = n * 3
+        V = jnp.zeros((m + 1, D), jnp.float32) + 0.001
+        w0 = x3.reshape(-1) + 0.0
+        chrows = 8
 
-            def _c(Vc=Vc, maskc=maskc):
-                d = jnp.einsum("i...,...->i", Vc, w,
-                               preferred_element_type=jnp.float32)
-                d = jnp.where(maskc, d, 0.0)
-                p = jnp.einsum("i,i...->...", d, Vc,
-                               preferred_element_type=jnp.float32)
-                return d, p
+        def cgs(V, w, j):
+            idx = jnp.arange(m + 1)
+            parts = []
+            proj = jnp.zeros_like(w)
+            for start in range(0, m + 1, chrows):
+                size = min(chrows, m + 1 - start)
+                Vc = lax.slice_in_dim(V, start, start + size, axis=0)
+                maskc = idx[start:start + size] <= j
 
-            if start == 0:
-                d, p = _c()
-            else:
-                d, p = lax.cond(j >= start, _c,
-                                lambda size=size: (
-                                    jnp.zeros((size,), jnp.float32),
-                                    jnp.zeros_like(w)))
-            parts.append(d)
-            proj = proj + p
-        return jnp.concatenate(parts), w - proj
+                def _c(Vc=Vc, maskc=maskc):
+                    d = Vc @ w
+                    d = jnp.where(maskc, d, 0.0)
+                    return d, d @ Vc
 
-    f_cgs = jax.jit(cgs)
-    for j in (8, 25, 45):
-        ms = timeit(f_cgs, V, w0, jnp.int32(j))
-        # active traffic: 2 reads of ceil((j+1)/ch)*ch rows of (n,3) f32
-        rows = -(-(j + 1) // 17) * 17
-        bw = 2 * rows * n * 3 * 4 / ms * 1e3 / 1e9
-        print(f"cgs j={j:2d} {ms:8.3f} ms   ({bw:.0f} GB/s effective)")
+                if start == 0:
+                    d, p = _c()
+                else:
+                    d, p = lax.cond(j >= start, _c,
+                                    lambda size=size: (
+                                        jnp.zeros((size,), jnp.float32),
+                                        jnp.zeros_like(w)))
+                parts.append(d)
+                proj = proj + p
+            return jnp.concatenate(parts), w - proj
 
-    # --- end-to-end: 30 forced iterations ---
-    from dataclasses import replace as _rep
-    cfg30 = _rep(config, fgmres_tol=1e-12, fgmres_abstol=1e-12,
-                 fgmres_max_restarts=1, fgmres_restart=30)
+        f_cgs = jax.jit(cgs)
+        for j in (8, 25, 45):
+            ms = timeit(f_cgs, V, w0, jnp.int32(j))
+            rows = -(-(j + 1) // chrows) * chrows
+            bw = 2 * rows * D * 4 / ms * 1e3 / 1e9
+            print(f"cgs j={j:2d}   {ms:8.3f} ms   ({bw:.0f} GB/s effective)",
+                  flush=True)
 
-    def solve30(s, st):
-        return _solve_linear(dm, s, st, cfg30, n_sweeps,
-                             make_pressure_solve(hier, dm, s))
+    # --- end-to-end: 30 forced iterations on the production path ---
+    if want("fgmres30"):
+        from dataclasses import replace as _rep
+        cfg30 = _rep(config, fgmres_tol=1e-12, fgmres_abstol=1e-12,
+                     fgmres_max_restarts=1, fgmres_restart=30)
 
-    f30 = jax.jit(solve30)
-    t0 = time.time()
-    r = f30(sys_, state)
-    jax.block_until_ready(r.x)
-    print(f"# fgmres30 compile+run: {time.time()-t0:.1f}s")
-    ms = timeit(f30, sys_, state, n=3, warmup=1)
-    iters = int(r.iterations)
-    print(f"fgmres30 {ms:8.3f} ms total, {iters} iters "
-          f"-> {ms / max(iters, 1):.3f} ms/iter")
+        def solve30(st_, prm):
+            return _assemble_and_solve(dm, st_, prm, cfg30, hier,
+                                       n_sweeps, None)
+
+        f30 = jax.jit(solve30)
+        t0 = time.time()
+        r = f30(state, params)
+        jax.block_until_ready(r.x)
+        print(f"# fgmres30 compile+run: {time.time()-t0:.1f}s", flush=True)
+        ms = timeit(f30, state, params, n=3, warmup=1)
+        iters = int(r.iterations)
+        print(f"fgmres30   {ms:8.3f} ms total, {iters} iters "
+              f"-> {ms / max(iters, 1):.3f} ms/iter", flush=True)
 
 
 if __name__ == "__main__":
