@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--scan", action="store_true",
                     help="run fused lax.scan loop (no snapshots)")
+    ap.add_argument("--live", action="store_true",
+                    help="serve a live web viewer while the solver runs")
+    ap.add_argument("--port", type=int, default=8787)
     args = ap.parse_args()
 
     from ..app.driver import Simulation
@@ -54,6 +57,14 @@ def main():
 
     if args.profile:
         sim.profiling.enable()
+
+    if args.live:
+        from ..viz.live_server import LiveServer
+        server = LiveServer(sim, port=args.port,
+                            max_steps=args.steps).start()
+        print(f"live viewer at {server.url}  (Ctrl-C to stop)")
+        server.serve_until_done()
+        return
 
     if args.scan:
         metrics = sim.run_scanned(args.steps)

@@ -21,6 +21,7 @@ import os
 import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 import jax
@@ -81,13 +82,19 @@ def main():
     jax.block_until_ready(ss.rhs)
     hier = build_hierarchy_for_mesh(dm)
 
-    # --- stream roofline: 256 MB probe ---
+    # --- launch overhead + stream roofline ---
     x3 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
     if want("stream"):
-        big = jnp.zeros((64, n), jnp.float32)
-        ms = timeit(jax.jit(lambda v: v + 1.0), big)
-        bw = big.size * 4 * 2 / ms * 1e3 / 1e9
-        print(f"stream     {ms:8.3f} ms   ({bw:.0f} GB/s r+w)", flush=True)
+        tiny = jnp.zeros((8, 128), jnp.float32)
+        ms0 = timeit(jax.jit(lambda v: v + 1.0), tiny, n=20)
+        print(f"launch     {ms0:8.3f} ms   (per-execution overhead)",
+              flush=True)
+        for mult in (64, 256):
+            big = jnp.zeros((mult, n), jnp.float32)
+            ms = timeit(jax.jit(lambda v: v + 1.0), big)
+            bw = big.size * 4 * 2 / (ms - ms0) * 1e3 / 1e9
+            print(f"stream{mult:<4d}{ms:8.3f} ms   ({bw:.0f} GB/s r+w "
+                  f"net of launch)", flush=True)
 
     n_sweeps = config.pressure_sweeps(n)
 
@@ -119,10 +126,50 @@ def main():
         print(f"st_precond {ms:8.3f} ms", flush=True)
 
     if want("vcycle"):
-        def vcyc(s, r):
-            return st.make_pressure_solve2(hier, s)(r)
-        ms = timeit(jax.jit(vcyc), ss, state.p.reshape(dm.grid_shape))
-        print(f"vcycle     {ms:8.3f} ms", flush=True)
+        # Split setup (Galerkin re-coarsening + coarse LU, once per
+        # assembly) from application (once per Krylov iteration).
+        from cfd2_tpu.ops.amg import (_GridOps, _dense_factor,
+                                      compute_structured_level_values,
+                                      structured_level_values_2d,
+                                      structured_v_cycle)
+
+        def coarsen(s):
+            lv = compute_structured_level_values(
+                hier, s.P_diag2.reshape(-1),
+                jnp.moveaxis(s.P_off2.reshape(4, -1), 0, 1))
+            fac = _dense_factor(
+                lv[-1][0], lv[-1][1],
+                _GridOps(hier.levels[-1].grid).neighbor_cols())
+            return structured_level_values_2d(hier, lv), fac
+
+        f_coarsen = jax.jit(coarsen)
+        lv2, fac = f_coarsen(ss)
+        jax.block_until_ready(fac)
+        ms = timeit(f_coarsen, ss, n=5)
+        print(f"coarsen    {ms:8.3f} ms   (per-assembly setup)", flush=True)
+
+        def vapply(lv2, fac, r):
+            return structured_v_cycle(hier, lv2, r.reshape(-1),
+                                      jnp.zeros_like(r).reshape(-1),
+                                      coarse_factors=fac)
+
+        f_va = jax.jit(vapply)
+        ms = timeit(f_va, lv2, fac, state.p.reshape(dm.grid_shape))
+        print(f"vapply     {ms:8.3f} ms   (per-iteration V-cycle)",
+              flush=True)
+
+        def pc_apply(s, lv2, fac, r):
+            def ps(rhs2):
+                return structured_v_cycle(
+                    hier, lv2, rhs2.reshape(-1),
+                    (s.diag_p_inv2 * rhs2).reshape(-1),
+                    coarse_factors=fac).reshape(s.grid)
+            return st.schur_precond(s, r, config.precond_omega, n_sweeps,
+                                    pressure_solve=ps)
+
+        ms = timeit(jax.jit(pc_apply), ss, lv2, fac, x3)
+        print(f"pc_apply   {ms:8.3f} ms   (per-iteration Schur+V-cycle)",
+              flush=True)
 
     # --- CGS step (flattened basis, chunk gating) at several j ---
     if want("cgs"):
@@ -166,6 +213,15 @@ def main():
             print(f"cgs j={j:2d}   {ms:8.3f} ms   ({bw:.0f} GB/s effective)",
                   flush=True)
 
+        def cgs_full(V, w):                      # unchunked: all m+1 rows
+            d = V @ w
+            return d, w - d @ V
+
+        ms = timeit(jax.jit(cgs_full), V, w0)
+        bw = 2 * (m + 1) * D * 4 / ms * 1e3 / 1e9
+        print(f"cgs full   {ms:8.3f} ms   ({bw:.0f} GB/s, all {m+1} rows)",
+              flush=True)
+
     # --- end-to-end: 30 forced iterations on the production path ---
     if want("fgmres30"):
         from dataclasses import replace as _rep
@@ -184,6 +240,30 @@ def main():
         ms = timeit(f30, state, params, n=3, warmup=1)
         iters = int(r.iterations)
         print(f"fgmres30   {ms:8.3f} ms total, {iters} iters "
+              f"-> {ms / max(iters, 1):.3f} ms/iter", flush=True)
+
+    if want("fgmres30id"):
+        # Identity preconditioner: isolates the non-precond per-iteration
+        # cost (CGS + matvec + basis updates + scalar tail) inside the
+        # production while_loop.
+        from cfd2_tpu.models.assembly import assemble_stencil as _asm
+        from cfd2_tpu.ops.fgmres import fgmres_solve
+
+        def solve30id(st_, prm):
+            ss_ = _asm(dm, st_, prm, config)
+            x0 = jnp.concatenate([st_.u, st_.p[:, None]], axis=1)
+            return fgmres_solve(lambda x: st.spmv(ss_, x), lambda r: r,
+                                ss_.rhs, x0, restart=30, max_restarts=1,
+                                tol=1e-12, abstol=1e-12)
+
+        fid = jax.jit(solve30id)
+        t0 = time.time()
+        r = fid(state, params)
+        jax.block_until_ready(r.x)
+        print(f"# fgmres30id compile+run: {time.time()-t0:.1f}s", flush=True)
+        ms = timeit(fid, state, params, n=3, warmup=1)
+        iters = int(r.iterations)
+        print(f"fgmres30id {ms:8.3f} ms total, {iters} iters "
               f"-> {ms / max(iters, 1):.3f} ms/iter", flush=True)
 
 
