@@ -83,20 +83,26 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
         from ..ops import stencil_system as st
         from .assembly import assemble_stencil
         ss = assemble_stencil(mesh, state, params, config)
-        matvec = lambda x: st.spmv(ss, x)
+        # The whole solve runs on (3, ny, nx) component planes; the (N, 3)
+        # interleaved layout is converted exactly once at entry/exit (its
+        # 3-wide minor axis costs a relayout on every per-iteration
+        # split/stack otherwise).
+        matvec = lambda x: st.spmv_planar(ss, x)
         ps = (st.make_pressure_solve2(amg, ss)
               if config.precond_type == PRECOND_AMG else None)
-        precond = lambda r: st.schur_precond(
+        precond = lambda r: st.schur_precond_planar(
             ss, r, config.precond_omega, n_sweeps, pressure_solve=ps)
         x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
-        return fgmres_solve(
-            matvec, precond, ss.rhs, x0,
+        result = fgmres_solve(
+            matvec, precond, st.to_planar(ss, ss.rhs),
+            st.to_planar(ss, x0),
             restart=config.fgmres_restart,
             max_restarts=config.fgmres_max_restarts,
             tol=config.fgmres_tol if tol is None else tol,
             abstol=config.fgmres_abstol,
             stagnation_tol=config.fgmres_stagnation_tol,
             stagnation_limit=config.fgmres_stagnation_limit)
+        return replace(result, x=st.from_planar(ss, result.x))
 
     sys = assemble_coupled(mesh, state, params, config)
     if config.precond_type == PRECOND_AMG and amg is not None:

@@ -100,13 +100,19 @@ class StructuredAmgLevel:
 @dataclass(frozen=True)
 class StructuredAmgHierarchy:
     levels: tuple  # of StructuredAmgLevel
+    # Level-0 masks for the stencil-form Galerkin coarsening
+    # (compute_structured_level_values2): fluid-cell diagonal validity
+    # (ny, nx) and internal-face validity per directional slot (4, ny, nx).
+    diag_valid2: jnp.ndarray | None = None
+    internal2: jnp.ndarray | None = None
 
     def tree_flatten(self):
-        return (tuple(self.levels),), ()
+        return (tuple(self.levels), self.diag_valid2, self.internal2), ()
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(levels=children[0])
+        return cls(levels=children[0], diag_valid2=children[1],
+                   internal2=children[2])
 
 
 # ----------------------------------------------------------------------
@@ -311,7 +317,12 @@ def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
         first = False
     if not levels:
         return None
-    return StructuredAmgHierarchy(levels=tuple(levels))
+    diag_valid2 = jnp.asarray(diag_valid0.reshape(ny, nx), jnp.float32)
+    internal2 = jnp.asarray(
+        np.moveaxis(internal0.reshape(ny, nx, 4), 2, 0).astype(np.float32))
+    return StructuredAmgHierarchy(levels=tuple(levels),
+                                  diag_valid2=diag_valid2,
+                                  internal2=internal2)
 
 
 def _dense_factor(diag, off, cols):
@@ -506,6 +517,54 @@ def compute_structured_level_values(hier: StructuredAmgHierarchy,
     return vals
 
 
+def compute_structured_level_values2(hier: StructuredAmgHierarchy,
+                                     P_diag2: jnp.ndarray,
+                                     P_off2: jnp.ndarray):
+    """Galerkin-coarsen values down the structured hierarchy as pure 2D
+    stencils — no ``segment_sum``.
+
+    Equivalent to :func:`compute_structured_level_values` (the parity is
+    pinned by tests/test_stencil_system.py) but ~40x faster on TPU at 1M
+    cells: the flat formulation's per-level scatter-add over 5N values cost
+    ~74 ms per assembly, while this is a handful of masked ``reduce_window``
+    sums.  For 2x2 piecewise-constant aggregation of a 5-point stencil:
+
+    * a fine E entry at even x couples cells in the *same* block -> coarse
+      diagonal; at odd x it crosses the block boundary -> coarse E slot
+      (mirrored for W/N/S);
+    * the coarse entry is the 2x2 block-sum of the masked fine grid.
+
+    Takes/returns 2D grid form: ``P_diag2`` (ny, nx), ``P_off2`` (4+, ny, nx)
+    slots E,W,N,S (extras ignored, as in the flat version).  Returns
+    ``[(diag2, off2), ...]`` per level, coarsest last.
+    """
+    d0 = P_diag2 + _NULL_SHIFT * jnp.abs(P_diag2)
+    vals = [(d0, P_off2[:4])]
+    for li, lvl in enumerate(hier.levels):
+        d, off = vals[-1]
+        if li == 0:
+            # The masks apply to the level-0 -> 1 transition only (matching
+            # the flat version's rap_target dumps); level-0 values themselves
+            # stay raw for the fine smoother.
+            d = d * hier.diag_valid2
+            off = off * hier.internal2
+        nyf, nxf = lvl.fine_grid
+        ops = _GridOps(lvl.fine_grid)
+        evx = (jnp.arange(nxf) % 2 == 0).astype(d.dtype)[None, :]
+        evy = (jnp.arange(nyf) % 2 == 0).astype(d.dtype)[:, None]
+        odx = 1.0 - evx
+        ody = 1.0 - evy
+        # Within-block couplings fold into the coarse diagonal.
+        within = off[0] * evx + off[1] * odx + off[2] * evy + off[3] * ody
+        dc = ops.restrict2(lvl.grid, d + within)
+        oc = jnp.stack([ops.restrict2(lvl.grid, off[0] * odx),
+                        ops.restrict2(lvl.grid, off[1] * evx),
+                        ops.restrict2(lvl.grid, off[2] * ody),
+                        ops.restrict2(lvl.grid, off[3] * evy)])
+        vals.append((dc, oc))
+    return vals
+
+
 def structured_level_values_2d(hier: StructuredAmgHierarchy, level_values):
     """Reshape flat per-level values [(n,), (n,4)] to 2D grid form
     [(ny,nx), (4,ny,nx)].  Done once per assembly (outside the Krylov loop)
@@ -660,14 +719,14 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem):
     in the HLO as literals (huge programs; breaks remote compilation).
     """
     if isinstance(hier, StructuredAmgHierarchy):
-        level_values = compute_structured_level_values(
-            hier, sys.P_diag, sys.P_off)
-        dc, oc = level_values[-1]
+        ny, nx = hier.levels[0].fine_grid
+        lv2 = compute_structured_level_values2(
+            hier, sys.P_diag.reshape(ny, nx),
+            jnp.moveaxis(sys.P_off[:, :4], 0, 1).reshape(4, ny, nx))
+        dc, oc = lv2[-1]
         factors = _dense_factor(
-            dc, oc, _GridOps(hier.levels[-1].grid).neighbor_cols())
-        # 2D grid form, reshaped once per assembly so the V-cycle's stencils
-        # run relayout-free inside the Krylov loop.
-        lv2 = structured_level_values_2d(hier, level_values)
+            dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+            _GridOps(hier.levels[-1].grid).neighbor_cols())
 
         def pressure_solve(rhs_p):
             x0 = sys.diag_p_inv * rhs_p

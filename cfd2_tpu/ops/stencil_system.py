@@ -170,30 +170,91 @@ def schur_precond(ss: StencilSystem, r: jnp.ndarray, omega: float,
                      axis=1)
 
 
+# ----------------------------------------------------------------------
+# Planar variants: vectors as (3, ny, nx) component planes.
+#
+# The (N, 3) interleaved layout keeps a 3-wide minor axis: every _split3 is a
+# strided slice + relayout and every output a re-interleave, measured ~11x
+# above the HBM roofline per Schur apply at 1M cells.  Component planes make
+# the split/stack free; the FGMRES driver works on flattened vectors anyway,
+# so the only conversion is once per solve at entry/exit.
+
+
+def spmv_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x with x, y of shape (3, ny, nx) (component planes)."""
+    xu, xv, xp = x[0], x[1], x[2]
+    su = _shifts2(xu)
+    sv = _shifts2(xv)
+    sp = _shifts2(xp)
+
+    yu = ss.diag_u2 * xu + ss.diag_up2 * xp \
+        + _dot4(ss.off_mom, su) + _dot4(ss.off_up, sp)
+    yv = ss.diag_u2 * xv + ss.diag_vp2 * xp \
+        + _dot4(ss.off_mom, sv) + _dot4(ss.off_vp, sp)
+    yp = ss.diag_pu2 * xu + ss.diag_pv2 * xv + ss.diag_pp2 * xp \
+        + _dot4(ss.off_pu, su) + _dot4(ss.off_pv, sv) + _dot4(ss.off_pp, sp)
+
+    return jnp.stack([yu, yv, yp])
+
+
+def schur_precond_planar(ss: StencilSystem, r: jnp.ndarray, omega: float,
+                         n_sweeps: int, pressure_solve=None) -> jnp.ndarray:
+    """Schur preconditioner on (3, ny, nx) component planes (see
+    schur_precond)."""
+    ru, rv, rp = r[0], r[1], r[2]
+
+    z_u = ss.diag_u_inv2 * ru
+    z_v = ss.diag_u_inv2 * rv
+
+    rhs_p = rp - ss.diag_pu2 * z_u - ss.diag_pv2 * z_v \
+        - _dot4(ss.off_pu, _shifts2(z_u)) - _dot4(ss.off_pv, _shifts2(z_v))
+
+    if pressure_solve is None:
+        z_p = chebyshev_pressure_solve2(ss, rhs_p, omega, n_sweeps)
+    else:
+        z_p = pressure_solve(rhs_p)
+
+    sp = _shifts2(z_p)
+    g_u = ss.diag_up2 * z_p + _dot4(ss.off_up, sp)
+    g_v = ss.diag_vp2 * z_p + _dot4(ss.off_vp, sp)
+    z_u = z_u - ss.diag_u_inv2 * g_u
+    z_v = z_v - ss.diag_u_inv2 * g_v
+
+    return jnp.stack([z_u, z_v, z_p])
+
+
+def to_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """(N, 3) interleaved -> (3, ny, nx) planes (once per solve)."""
+    ny, nx = ss.grid
+    return x.T.reshape(3, ny, nx)
+
+
+def from_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
+    """(3, ny, nx) planes -> (N, 3) interleaved (once per solve)."""
+    return x.reshape(3, -1).T
+
+
 def make_pressure_solve2(hier, ss: StencilSystem):
     """Structured-multigrid pressure solve taking/returning (ny, nx) grids.
 
-    The flat P_off layout expected by compute_structured_level_values is
-    slot-major — exactly P_off2's memory order, so no transpose is needed.
+    Galerkin re-coarsening runs in 2D stencil form
+    (amg.compute_structured_level_values2) — the segment_sum formulation cost
+    ~74 ms per assembly at 1M cells; this is ~2 ms.
     """
     from .amg import (
         StructuredAmgHierarchy,
         _GridOps,
         _dense_factor,
-        compute_structured_level_values,
-        structured_level_values_2d,
+        compute_structured_level_values2,
         structured_v_cycle,
     )
 
     assert isinstance(hier, StructuredAmgHierarchy)
-    n = ss.grid[0] * ss.grid[1]
-    level_values = compute_structured_level_values(
-        hier, ss.P_diag2.reshape(-1),
-        jnp.moveaxis(ss.P_off2.reshape(4, n), 0, 1))
-    dc, oc = level_values[-1]
+    lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+    dc, oc = lv2[-1]
     factors = _dense_factor(
-        dc, oc, _GridOps(hier.levels[-1].grid).neighbor_cols())
-    lv2 = structured_level_values_2d(hier, level_values)
+        dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+        _GridOps(hier.levels[-1].grid).neighbor_cols())
 
     def pressure_solve(rhs_p2):
         x0 = ss.diag_p_inv2 * rhs_p2

@@ -81,6 +81,49 @@ def test_schur_precond_matches(setup):
     assert np.abs(z_st - z_ref).max() < 1e-4 * max(scale, 1.0)
 
 
+def test_planar_variants_match(setup):
+    """(3, ny, nx) component-plane spmv/precond == (N, 3) interleaved forms."""
+    dm, config, _, ss = setup
+    x = _rand_x(dm, seed=3)
+    xp = st.to_planar(ss, x)
+    np.testing.assert_allclose(np.asarray(st.from_planar(ss, xp)),
+                               np.asarray(x), rtol=0, atol=0)
+    y_ref = np.asarray(st.spmv(ss, x))
+    y_pl = np.asarray(st.from_planar(ss, st.spmv_planar(ss, xp)))
+    np.testing.assert_allclose(y_pl, y_ref, rtol=0, atol=0)
+    n_sweeps = config.pressure_sweeps(dm.num_cells)
+    z_ref = np.asarray(st.schur_precond(ss, x, config.precond_omega, n_sweeps))
+    z_pl = np.asarray(st.from_planar(ss, st.schur_precond_planar(
+        ss, xp, config.precond_omega, n_sweeps)))
+    np.testing.assert_allclose(z_pl, z_ref, rtol=0, atol=0)
+
+
+def test_structured_coarsening_stencil_matches_segment_sum(setup):
+    """The 2D stencil-form Galerkin re-coarsening
+    (compute_structured_level_values2) must reproduce the segment_sum
+    formulation exactly at every level."""
+    dm, _, sys_, ss = setup
+    from cfd2_tpu.ops.amg import (build_hierarchy_for_mesh,
+                                  compute_structured_level_values,
+                                  compute_structured_level_values2)
+    hier = build_hierarchy_for_mesh(dm)
+    ny, nx = dm.grid_shape
+    lv_ref = compute_structured_level_values(
+        hier, ss.P_diag2.reshape(-1),
+        jnp.moveaxis(ss.P_off2.reshape(4, -1), 0, 1))
+    lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+    assert len(lv_ref) == len(lv2)
+    grids = [hier.levels[0].fine_grid] + [l.grid for l in hier.levels]
+    for (dr, orf), (d2, o2), g in zip(lv_ref, lv2, grids):
+        dr = np.asarray(dr).reshape(g)
+        orf = np.asarray(orf).T.reshape((4,) + g)
+        scale = max(np.abs(dr).max(), 1e-30)
+        np.testing.assert_allclose(np.asarray(d2), dr, rtol=0,
+                                   atol=1e-5 * scale)
+        np.testing.assert_allclose(np.asarray(o2), orf, rtol=0,
+                                   atol=1e-5 * scale)
+
+
 def test_amg_pressure_solve_matches(setup):
     dm, config, sys_, ss = setup
     from cfd2_tpu.ops.amg import (build_hierarchy_for_mesh,

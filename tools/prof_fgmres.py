@@ -129,18 +129,16 @@ def main():
         # Split setup (Galerkin re-coarsening + coarse LU, once per
         # assembly) from application (once per Krylov iteration).
         from cfd2_tpu.ops.amg import (_GridOps, _dense_factor,
-                                      compute_structured_level_values,
-                                      structured_level_values_2d,
+                                      compute_structured_level_values2,
                                       structured_v_cycle)
 
         def coarsen(s):
-            lv = compute_structured_level_values(
-                hier, s.P_diag2.reshape(-1),
-                jnp.moveaxis(s.P_off2.reshape(4, -1), 0, 1))
+            lv2 = compute_structured_level_values2(hier, s.P_diag2, s.P_off2)
+            dc, oc = lv2[-1]
             fac = _dense_factor(
-                lv[-1][0], lv[-1][1],
+                dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
                 _GridOps(hier.levels[-1].grid).neighbor_cols())
-            return structured_level_values_2d(hier, lv), fac
+            return lv2, fac
 
         f_coarsen = jax.jit(coarsen)
         lv2, fac = f_coarsen(ss)
