@@ -15,14 +15,16 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
-def bench_one(min_cell: float, precond: int, steps: int = 6):
+def bench_one(min_cell: float, precond: int, steps: int = 6,
+              max_cell: float = 0.0):
     import jax
     from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
     from cfd2_tpu.models.coupled import CoupledSolver
 
     geo = ChannelWithObstacle(length=3.0, height=1.0,
                               obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
-    mesh = generate_cut_cell_mesh(geo, min_cell, min_cell, 1.2, (3.0, 1.0))
+    mesh = generate_cut_cell_mesh(geo, min_cell, max(max_cell, min_cell),
+                                  1.2, (3.0, 1.0))
     n = mesh.num_cells
     s = CoupledSolver(mesh)
     s.set_dt(min(0.002, 0.4 * min_cell))
@@ -41,8 +43,11 @@ def bench_one(min_cell: float, precond: int, steps: int = 6):
         jax.block_until_ready(s.state.u)
     dt = (time.time() - t0) / steps
     assert np.isfinite(s.get_u()).all()
+    layout = ("structured" if s.mesh.structured
+              else "multilevel" if s.mesh.multilevel else "generic")
     print(json.dumps({
-        "mesh": min_cell, "cells": n,
+        "mesh": min_cell if not max_cell else f"{min_cell}/{max_cell}",
+        "cells": n, "layout": layout,
         "precond": ["jacobi", "amg", "block-jacobi"][precond],
         "step_seconds": round(dt, 4),
         "cell_updates_per_sec": round(n / dt, 1),
@@ -57,6 +62,8 @@ def main():
     # Jacobi vs AMG at 0.01 (reference :161-190).
     cmp_size = float(os.environ.get("SWEEP_COMPARE", "0.01"))
     bench_one(cmp_size, precond=0)
+    # Locally-refined quadtree mesh (multilevel fast path).
+    bench_one(0.01, precond=1, max_cell=0.04)
 
 
 if __name__ == "__main__":

@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--mesh-type", default="cutcell",
                     choices=["cutcell", "delaunay", "voronoi"])
     ap.add_argument("--cell-size", type=float, default=0.02)
+    ap.add_argument("--max-cell-size", type=float, default=0.0,
+                    help="> cell-size enables local quadtree refinement "
+                         "(cutcell only)")
     ap.add_argument("--fluid", default="Custom")
     ap.add_argument("--inlet-velocity", type=float, default=1.0)
     ap.add_argument("--scheme", type=int, default=0,
@@ -49,7 +52,8 @@ def main():
 
     sim = Simulation(
         geometry=args.geometry, mesh_type=args.mesh_type,
-        cell_size=args.cell_size, fluid=Fluid.by_name(args.fluid),
+        cell_size=args.cell_size, max_cell_size=args.max_cell_size,
+        fluid=Fluid.by_name(args.fluid),
         inlet_velocity=args.inlet_velocity, scheme=args.scheme,
         time_scheme=args.time_scheme, precond=args.precond)
     print(f"mesh: {sim.mesh.num_cells} cells ({args.mesh_type}), "

@@ -70,6 +70,9 @@ class Simulation:
     geometry: str = "channel"
     mesh_type: str = "cutcell"
     cell_size: float = 0.02
+    # > cell_size enables local quadtree refinement (cutcell only): fine
+    # cells near boundaries growing to max_cell_size in the bulk.
+    max_cell_size: float = 0.0
     fluid: Fluid = field(default_factory=lambda: Fluid.by_name("Custom"))
     inlet_velocity: float = 1.0
     ramp_time: float = 0.1
@@ -87,7 +90,8 @@ class Simulation:
         self.geo = geo
         self.domain = domain
         gen = _GENERATORS[self.mesh_type]
-        self.mesh = gen(geo, self.cell_size, self.cell_size, 1.2, domain)
+        max_cell = max(self.max_cell_size, self.cell_size)
+        self.mesh = gen(geo, self.cell_size, max_cell, 1.2, domain)
         if self.mesh_type != "voronoi":
             self.mesh.smooth(geo, 0.3, 50)
 

@@ -75,6 +75,7 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     """
     mins, maxs = refine_leaves(geo, min_cell_size, max_cell_size, growth_rate,
                                domain_size)
+    leaf_idx = np.arange(len(mins))
 
     # Corner SDFs for every leaf: order p00, p10, p11, p01 (CCW).
     cx = np.stack([mins[:, 0], maxs[:, 0], maxs[:, 0], mins[:, 0]], axis=-1)
@@ -184,6 +185,9 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     ])
     counts = np.concatenate([np.full(R, 4, dtype=np.int64),
                              cut_counts[cut_counts >= 3]])
+    # Quadtree provenance per polygon, carried through every cell drop below.
+    cell_leaf = np.concatenate([leaf_idx[is_rect],
+                                leaf_idx[is_cut][cut_counts >= 3]])
 
     # Dedup vertices by quantized coordinates (cut_cell.rs:26-44).
     keys, _, _ = _quant_key(flat_x, flat_y)
@@ -214,6 +218,7 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     poly_verts = poly_verts[keep_v]
     cell_ids = cell_remap[cell_ids[keep_v]]
     counts = counts[valid_cells]
+    cell_leaf = cell_leaf[valid_cells]
     n_cells = len(counts)
     poly_offsets = np.zeros(n_cells + 1, dtype=np.int64)
     np.cumsum(counts, out=poly_offsets[1:])
@@ -242,6 +247,7 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
         poly_verts = poly_verts[keep_v]
         cell_ids = cell_remap[cell_ids[keep_v]]
         counts = counts[valid_cells]
+        cell_leaf = cell_leaf[valid_cells]
         n_cells = int(valid_cells.sum())
         poly_offsets = np.zeros(n_cells + 1, dtype=np.int64)
         np.cumsum(counts, out=poly_offsets[1:])
@@ -301,6 +307,30 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     cell_face_offsets = np.zeros(n_cells + 1, dtype=np.int64)
     np.cumsum(face_counts, out=cell_face_offsets[1:])
 
+    # Quadtree provenance: per-cell refinement level (0 = finest size
+    # present) + integer grid position on that level's uniform grid.  Only
+    # attached when every leaf is an exact power-of-2 square of the finest
+    # size (clipped domain-edge tiles disqualify); consumers fall back to the
+    # generic encoding when absent.
+    cell_level = cell_gi = cell_gj = None
+    if n_cells:
+        lsz_x = maxs[cell_leaf, 0] - mins[cell_leaf, 0]
+        lsz_y = maxs[cell_leaf, 1] - mins[cell_leaf, 1]
+        h0 = float(lsz_x.min())
+        ratio = lsz_x / h0
+        lev = np.round(np.log2(np.maximum(ratio, 1e-300))).astype(np.int64)
+        sz = h0 * (2.0 ** lev)
+        gi = np.round(mins[cell_leaf, 0] / sz)
+        gj = np.round(mins[cell_leaf, 1] / sz)
+        ok = (np.abs(lsz_x - sz) < 1e-9 * sz).all() \
+            and (np.abs(lsz_y - sz) < 1e-9 * sz).all() \
+            and (np.abs(gi * sz - mins[cell_leaf, 0]) < 1e-9 * sz).all() \
+            and (np.abs(gj * sz - mins[cell_leaf, 1]) < 1e-9 * sz).all()
+        if ok:
+            cell_level = lev
+            cell_gi = gi.astype(np.int64)
+            cell_gj = gj.astype(np.int64)
+
     mesh = Mesh(
         vx=vx, vy=vy, v_fixed=v_fixed,
         face_v1=face_v1, face_v2=face_v2,
@@ -312,6 +342,7 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
         cell_vol=np.zeros(n_cells),
         cell_faces=cell_face_ids, cell_face_offsets=cell_face_offsets,
         cell_vertices=poly_verts, cell_vertex_offsets=poly_offsets,
+        cell_level=cell_level, cell_gi=cell_gi, cell_gj=cell_gj,
     )
     mesh.recalculate_geometry()
     return mesh

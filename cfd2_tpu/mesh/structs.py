@@ -53,6 +53,15 @@ class Mesh:
     cell_vertices: np.ndarray = field(default_factory=lambda: np.zeros(0, dtype=np.int64))
     cell_vertex_offsets: np.ndarray = field(default_factory=lambda: np.zeros(1, dtype=np.int64))
 
+    # Optional quadtree provenance (cut-cell meshes only): per-cell
+    # refinement level (0 = finest leaves present) and integer grid position
+    # (gi, gj) on that level's uniform grid.  None for generators that don't
+    # produce it (Delaunay/Voronoi); enables the multilevel stencil fast
+    # path in runtime/device_mesh.py.
+    cell_level: np.ndarray | None = None
+    cell_gi: np.ndarray | None = None
+    cell_gj: np.ndarray | None = None
+
     @property
     def num_cells(self) -> int:
         return len(self.cell_cx)

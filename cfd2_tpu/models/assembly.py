@@ -134,6 +134,25 @@ def compute_slot_fluxes(mesh: DeviceMesh, state: SolverState,
         * mask[:, SLOT_E]
     fN = jnp.where(is_b[:, SLOT_N], fl_bdry[:, SLOT_N], fl_int[:, SLOT_N]) \
         * mask[:, SLOT_N]
+    if mesh.multilevel:
+        # W/S mirror only where the same-level partner's E/N slot holds the
+        # same face (ck_mirror); cross-level (hanging) faces evaluate the
+        # internal formula directly on both sides — antisymmetric up to f32
+        # rounding of the symmetric interpolation.
+        fW_direct = jnp.where(is_b[:, SLOT_W], fl_bdry[:, SLOT_W],
+                              fl_int[:, SLOT_W])
+        fS_direct = jnp.where(is_b[:, SLOT_S], fl_bdry[:, SLOT_S],
+                              fl_int[:, SLOT_S])
+        fW = jnp.where(mesh.ck_mirror[:, SLOT_W] > 0,
+                       -mesh.shift_from_west(fE), fW_direct) * mask[:, SLOT_W]
+        fS = jnp.where(mesh.ck_mirror[:, SLOT_S] > 0,
+                       -mesh.shift_from_south(fN), fS_direct) * mask[:, SLOT_S]
+        cols = [fE, fW, fN, fS]
+        for k in range(4, mesh.max_faces):
+            # Extra slots may hold internal (hanging) faces here.
+            cols.append(jnp.where(is_b[:, k], fl_bdry[:, k], fl_int[:, k])
+                        * mask[:, k])
+        return jnp.stack(cols, axis=1)
     fW = jnp.where(is_b[:, SLOT_W], fl_bdry[:, SLOT_W],
                    -mesh.shift_from_west(fE)) * mask[:, SLOT_W]
     fS = jnp.where(is_b[:, SLOT_S], fl_bdry[:, SLOT_S],
@@ -151,7 +170,7 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     Uses the *incoming* state's d_p/grad_p in the Rhie–Chow flux (like the
     reference, which reads them before overwriting).
     """
-    if mesh.structured:
+    if mesh.structured or mesh.multilevel:
         flux = compute_slot_fluxes(mesh, state, params, state.time)
         flux_out = flux
     else:

@@ -51,6 +51,9 @@ class DeviceMesh:
     max_faces: int                # K
     num_host_cells: int           # fluid cells in the host mesh
     grid_shape: tuple | None      # (ny, nx) for the structured fast path
+    # Multilevel (locally-refined quadtree) fast path: per-level (ny, nx)
+    # grids, finest first; device cells are the levels' grids concatenated.
+    ml_levels: tuple | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -91,6 +94,17 @@ class DeviceMesh:
     ck_dcdx: jnp.ndarray          # other_center - this center
     ck_dcdy: jnp.ndarray
 
+    # --- multilevel fast path (None elsewhere) ---
+    # Exception entries: internal (cell, slot) pairs whose neighbor is NOT
+    # the same-level grid shift (cross-level/hanging faces) — resolved by a
+    # tiny gather+scatter on top of the per-level shifts.
+    ml_exc_cell: jnp.ndarray | None = None   # (E,) int32 device cell
+    ml_exc_slot: jnp.ndarray | None = None   # (E,) int32 slot
+    ml_exc_src: jnp.ndarray | None = None    # (E,) int32 neighbor device cell
+    # (N, 4) f32: 1 where the W/S slot's flux may mirror the same-level
+    # partner's E/N slot value by shift (exact antisymmetry).
+    ck_mirror: jnp.ndarray | None = None
+
     _dyn_fields = (
         "f_owner", "f_neighbor", "f_neighbor_safe", "f_internal", "f_boundary",
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
@@ -98,12 +112,13 @@ class DeviceMesh:
         "ck_face", "ck_mask", "ck_sign", "ck_neighbor", "ck_is_boundary",
         "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_dist_proj",
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
+        "ml_exc_cell", "ml_exc_slot", "ml_exc_src", "ck_mirror",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
-               self.num_host_cells, self.grid_shape)
+               self.num_host_cells, self.grid_shape, self.ml_levels)
         return children, aux
 
     @classmethod
@@ -115,33 +130,79 @@ class DeviceMesh:
     def structured(self) -> bool:
         return self.grid_shape is not None
 
+    @property
+    def multilevel(self) -> bool:
+        return self.ml_levels is not None
+
+    @property
+    def ml_offsets(self) -> tuple:
+        offs = []
+        off = 0
+        for ny, nx in self.ml_levels:
+            offs.append(off)
+            off += ny * nx
+        return tuple(offs)
+
+    def _shift_slots(self, xg):
+        """Edge-clamped E, W, N, S shifts of an (ny, nx, ...) grid."""
+        e = jnp.concatenate([xg[:, 1:], xg[:, -1:]], axis=1)
+        w = jnp.concatenate([xg[:, :1], xg[:, :-1]], axis=1)
+        n = jnp.concatenate([xg[1:], xg[-1:]], axis=0)
+        s = jnp.concatenate([xg[:1], xg[:-1]], axis=0)
+        return e, w, n, s
+
     def gather(self, x: jnp.ndarray) -> jnp.ndarray:
         """Neighbor values per slot: (N, ...) -> (N, K, ...).
 
         Structured: four edge-clamped shifts of the (ny, nx) grid (clamped
         values are always masked by zero coefficients) + self for extra
-        slots.  Generic: one gather via ck_neighbor.
+        slots.  Multilevel: per-level shifts + one tiny gather/scatter for
+        the cross-level exception entries.  Generic: one gather via
+        ck_neighbor.
         """
-        if not self.structured:
-            return x[self.ck_neighbor]
-        ny, nx = self.grid_shape
         tail = x.shape[1:]
-        xg = x.reshape((ny, nx) + tail)
-        e = jnp.concatenate([xg[:, 1:], xg[:, -1:]], axis=1)
-        w = jnp.concatenate([xg[:, :1], xg[:, :-1]], axis=1)
-        n = jnp.concatenate([xg[1:], xg[-1:]], axis=0)
-        s = jnp.concatenate([xg[:1], xg[:-1]], axis=0)
-        slots = [e, w, n, s] + [xg] * (self.max_faces - 4)
-        out = jnp.stack(slots, axis=2)                  # (ny, nx, K, ...)
-        return out.reshape((ny * nx, self.max_faces) + tail)
+        K = self.max_faces
+        if self.structured:
+            ny, nx = self.grid_shape
+            xg = x.reshape((ny, nx) + tail)
+            e, w, n, s = self._shift_slots(xg)
+            slots = [e, w, n, s] + [xg] * (K - 4)
+            out = jnp.stack(slots, axis=2)              # (ny, nx, K, ...)
+            return out.reshape((ny * nx, K) + tail)
+        if self.multilevel:
+            parts = []
+            for (ny, nx), off in zip(self.ml_levels, self.ml_offsets):
+                xg = x[off:off + ny * nx].reshape((ny, nx) + tail)
+                e, w, n, s = self._shift_slots(xg)
+                slots = [e, w, n, s] + [xg] * (K - 4)
+                parts.append(jnp.stack(slots, axis=2).reshape(
+                    (ny * nx, K) + tail))
+            base = jnp.concatenate(parts, axis=0)
+            # Cross-level/hanging entries: tiny gather then scatter-override.
+            vals = x[self.ml_exc_src]
+            return base.at[self.ml_exc_cell, self.ml_exc_slot].set(vals)
+        return x[self.ck_neighbor]
+
+    def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
+        out = []
+        for (ny, nx), off in zip(self.ml_levels, self.ml_offsets):
+            vg = v[off:off + ny * nx].reshape(ny, nx)
+            out.append(fn(vg).reshape(-1))
+        return jnp.concatenate(out)
 
     def shift_from_west(self, v: jnp.ndarray) -> jnp.ndarray:
         """(N,) value of the west neighbor (edge-clamped)."""
+        if self.multilevel:
+            return self._per_level(
+                v, lambda vg: jnp.concatenate([vg[:, :1], vg[:, :-1]], axis=1))
         ny, nx = self.grid_shape
         vg = v.reshape(ny, nx)
         return jnp.concatenate([vg[:, :1], vg[:, :-1]], axis=1).reshape(-1)
 
     def shift_from_south(self, v: jnp.ndarray) -> jnp.ndarray:
+        if self.multilevel:
+            return self._per_level(
+                v, lambda vg: jnp.concatenate([vg[:1], vg[:-1]], axis=0))
         ny, nx = self.grid_shape
         vg = v.reshape(ny, nx)
         return jnp.concatenate([vg[:1], vg[:-1]], axis=0).reshape(-1)
@@ -149,10 +210,11 @@ class DeviceMesh:
     def slot_fluxes(self, fluxes: jnp.ndarray) -> jnp.ndarray:
         """Per-slot *outward* mass fluxes (N, K).
 
-        Structured mode stores fluxes directly in slot layout; generic mode
-        stores one value per face (owner-outward) and signs it per side.
+        Structured/multilevel modes store fluxes directly in slot layout;
+        generic mode stores one value per face (owner-outward) and signs it
+        per side.
         """
-        if self.structured:
+        if self.structured or self.multilevel:
             return fluxes
         return fluxes[self.ck_face] * self.ck_sign
 
@@ -199,12 +261,43 @@ def _detect_uniform_grid(mesh: Mesh):
     return h, nx, ny, ix, jy
 
 
+def _multilevel_layout(mesh: Mesh):
+    """Device layout for a locally-refined quadtree mesh: each refinement
+    level is its own (ny, nx) uniform grid (holes masked), concatenated
+    finest-first.  Returns (shapes, offsets, N_dev, dev_of_host) or None."""
+    lev = mesh.cell_level
+    if lev is None or lev.max() == lev.min():
+        return None
+    lev = lev - lev.min()           # finest present = 0
+    gi = mesh.cell_gi
+    gj = mesh.cell_gj
+    nlev = int(lev.max()) + 1
+    ext_x = int(((gi + 1) << lev).max())    # extent in finest units
+    ext_y = int(((gj + 1) << lev).max())
+    shapes = []
+    offsets = []
+    off = 0
+    for li in range(nlev):
+        nxl = (ext_x + (1 << li) - 1) >> li
+        nyl = (ext_y + (1 << li) - 1) >> li
+        shapes.append((nyl, nxl))
+        offsets.append(off)
+        off += nyl * nxl
+    offs = np.asarray(offsets, np.int64)
+    nxs = np.asarray([s[1] for s in shapes], np.int64)
+    dev_of_host = offs[lev] + gj * nxs[lev] + gi
+    if len(np.unique(dev_of_host)) != len(dev_of_host):
+        return None                 # inconsistent metadata
+    return tuple(shapes), offsets, off, dev_of_host
+
+
 def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
                 pad_rows_to: int = 1, pad_cols_to: int = 1) -> DeviceMesh:
     """Encode a host mesh (one-time upload).
 
     ``structured``: "auto" picks the stencil fast path when the mesh is a
-    uniform cut-cell grid; "never" forces the generic gather path.
+    uniform cut-cell grid (or the multilevel fast path when the mesh carries
+    quadtree provenance); "never" forces the generic gather path.
     ``pad_rows_to``: round ny up to a multiple (extra rows are masked solid
     cells) so the grid can be row-sharded over that many devices.
     ``pad_cols_to``: round nx up to a multiple (e.g. 128 to lane-align every
@@ -226,6 +319,9 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     f_ny = np.where(flip, -mesh.face_ny, mesh.face_ny)
 
     grid = _detect_uniform_grid(mesh) if structured == "auto" else None
+    ml = None
+    if grid is None and structured == "auto":
+        ml = _multilevel_layout(mesh)
 
     # ------------------------------------------------------------------
     # Device cell layout.
@@ -238,10 +334,15 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         N_dev = nx * ny
         dev_of_host = (jys * nx + ixs).astype(np.int64)
         grid_shape = (ny, nx)
+        ml_levels = None
+    elif ml is not None:
+        ml_levels, ml_offsets, N_dev, dev_of_host = ml
+        grid_shape = None
     else:
         N_dev = N_host
         dev_of_host = np.arange(N_host, dtype=np.int64)
         grid_shape = None
+        ml_levels = None
 
     host_of_dev = np.full(N_dev, -1, dtype=np.int64)
     host_of_dev[dev_of_host] = np.arange(N_host)
@@ -321,6 +422,61 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
             e_slot[idxe[orde]] = 4 + rank
             K_extra = int(rank.max()) + 1
         K = 4 + K_extra
+    elif ml is not None:
+        # Multilevel slot assignment.  Direction slots (E/W/N/S) are claimed
+        # preferentially by same-level grid-adjacent internal faces (these
+        # resolve by per-level shifts); everything else that has an
+        # axis-aligned direction competes next; remaining/conflicting entries
+        # overflow into extra slots.  Internal entries that did not win a
+        # shift-resolvable assignment become gather/scatter exceptions.
+        lev_h = (mesh.cell_level - mesh.cell_level.min()).astype(np.int64)
+        gi_h = mesh.cell_gi.astype(np.int64)
+        gj_h = mesh.cell_gj.astype(np.int64)
+
+        oth_host = np.where(e_sign > 0, neigh_safe[e_face], owner[e_face])
+        e_internal = internal[e_face]
+        same_lev = e_internal & (lev_h[oth_host] == lev_h[e_host])
+        dix = np.where(same_lev, gi_h[oth_host] - gi_h[e_host], 0)
+        djy = np.where(same_lev, gj_h[oth_host] - gj_h[e_host], 0)
+        same_adj = same_lev & (np.abs(dix) + np.abs(djy) == 1)
+        onx = f_nx[e_face] * e_sign
+        ony = f_ny[e_face] * e_sign
+        dir_slot = np.where(
+            same_adj,
+            np.select([dix == 1, dix == -1, djy == 1, djy == -1],
+                      [SLOT_E, SLOT_W, SLOT_N, SLOT_S], default=-1),
+            np.select([onx > 0.999, onx < -0.999, ony > 0.999, ony < -0.999],
+                      [SLOT_E, SLOT_W, SLOT_N, SLOT_S], default=-1))
+        n_e = len(e_face)
+        e_slot = np.full(n_e, -1, dtype=np.int64)
+        has_dir = dir_slot >= 0
+        keyd = e_dev * 4 + np.where(has_dir, dir_slot, 0)
+        # Priority within each (cell, direction): shift-resolvable first,
+        # then other internal, then boundary.
+        prio = np.where(same_adj, 0, np.where(e_internal, 1, 2))
+        ordk = np.lexsort((prio, keyd))
+        sk = keyd[ordk]
+        first = np.ones(n_e, dtype=bool)
+        first[1:] = sk[1:] != sk[:-1]
+        keep = np.zeros(n_e, dtype=bool)
+        keep[ordk] = first
+        keep &= has_dir
+        e_slot[keep] = dir_slot[keep]
+        idxe = np.nonzero(~keep)[0]
+        K_extra = 0
+        if len(idxe):
+            orde = np.argsort(e_dev[idxe], kind="stable")
+            sc = e_dev[idxe][orde]
+            change = np.ones(len(idxe), dtype=bool)
+            change[1:] = sc[1:] != sc[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(change, np.arange(len(idxe)), 0))
+            rank = np.arange(len(idxe)) - grp_start
+            e_slot[idxe[orde]] = 4 + rank
+            K_extra = int(rank.max()) + 1
+        K = 4 + K_extra
+        # Shift-resolvable = same-level adjacent AND won its direction slot.
+        ml_shiftable = same_adj & keep
     else:
         # Generic: slots in the host CSR order.
         counts = np.diff(mesh.cell_face_offsets)
@@ -363,6 +519,36 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     bdry = np.where(e_is_b, mesh.face_boundary[e_face], 0)
     ngh_dev = np.where(e_is_b, e_dev, dev_of_host[oth_host])
 
+    # ------------------------------------------------------------------
+    # Multilevel: exception entries + flux mirror mask.
+    ml_exc_cell = ml_exc_slot = ml_exc_src = ck_mirror_arr = None
+    if ml is not None:
+        exc = internal[e_face] & ~ml_shiftable
+        ml_exc_cell = e_dev[exc]
+        ml_exc_slot = e_slot[exc]
+        ml_exc_src = ngh_dev[exc]
+        # Mirror mask: internal faces whose two entries both won their E/W
+        # (or N/S) direction slots — the W/S side mirrors the partner's
+        # E/N-slot flux by shift, keeping exact per-face antisymmetry.
+        n_int = int(internal.sum())
+        ngh_entry = np.full(F, -1, dtype=np.int64)
+        ngh_entry[faces_idx[internal]] = F + np.arange(n_int)
+        fint = np.nonzero(internal)[0]
+        a = fint                        # owner-side entry index == face id
+        b = ngh_entry[fint]
+        sa = e_slot[a]
+        sb = e_slot[b]
+        both = ml_shiftable[a] & ml_shiftable[b]
+        ew = both & (((sa == SLOT_E) & (sb == SLOT_W))
+                     | ((sa == SLOT_W) & (sb == SLOT_E)))
+        ns = both & (((sa == SLOT_N) & (sb == SLOT_S))
+                     | ((sa == SLOT_S) & (sb == SLOT_N)))
+        w_ent = np.where(sa == SLOT_W, a, b)[ew]
+        s_ent = np.where(sa == SLOT_S, a, b)[ns]
+        ck_mirror_arr = np.zeros((N_dev, K))
+        ck_mirror_arr[e_dev[w_ent], SLOT_W] = 1.0
+        ck_mirror_arr[e_dev[s_ent], SLOT_S] = 1.0
+
     def scat(vals, fill=0.0, idtype=np.float64):
         out = np.full((N_dev, K), fill, dtype=idtype)
         out[e_dev, e_slot] = vals
@@ -391,7 +577,11 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
 
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
-        grid_shape=grid_shape,
+        grid_shape=grid_shape, ml_levels=ml_levels,
+        ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
+        ml_exc_slot=None if ml_exc_slot is None else as_i(ml_exc_slot),
+        ml_exc_src=None if ml_exc_src is None else as_i(ml_exc_src),
+        ck_mirror=None if ck_mirror_arr is None else as_f(ck_mirror_arr),
         f_owner=as_i(dev_of_host[owner]),
         f_neighbor=as_i(np.where(internal, dev_of_host[neigh_safe], -1)),
         f_neighbor_safe=as_i(dev_of_host[neigh_safe]),

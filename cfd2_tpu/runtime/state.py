@@ -152,7 +152,8 @@ def initial_state(mesh, u0=None, p0=None, dtype=jnp.float32,
         p = mesh.from_host_order(p0) if host_order else p0
     z = jnp.zeros((N,), dtype)
     z2 = jnp.zeros((N, 2), dtype)
-    flux_shape = (N, mesh.max_faces) if mesh.structured else (mesh.num_faces,)
+    flux_shape = ((N, mesh.max_faces) if mesh.structured or mesh.multilevel
+                  else (mesh.num_faces,))
     return SolverState(
         u=u, p=p, d_p=z, grad_p=z2, grad_u=z2, grad_v=z2,
         fluxes=jnp.zeros(flux_shape, dtype),
