@@ -107,7 +107,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
     sys = assemble_coupled(mesh, state, params, config)
     if config.precond_type == PRECOND_AMG and amg is not None:
         from ..ops.amg import make_pressure_solve
-        pressure_solve = make_pressure_solve(amg, mesh, sys)
+        pressure_solve = make_pressure_solve(
+            amg, mesh, sys, coeff=params.density * state.d_p)
     else:
         pressure_solve = None
     return _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,

@@ -283,20 +283,10 @@ def _structured_rap_target(nyf, nxf, nyc, nxc, kf,
     return targets
 
 
-def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
-    """Geometric-aggregation multigrid for structured meshes: repeated 2x2
-    block coarsening.  Piecewise-constant transfer + Galerkin product, like
-    the reference AMG, but every level keeps the 5-point grid structure."""
-    if not mesh.structured:
-        return None
-    ny, nx = mesh.grid_shape
+def _structured_levels(ny, nx, internal0, diag_valid0):
+    """2x2 coarsening level chain over an (ny, nx) grid.  ``internal0``
+    (nf, 4) bool and ``diag_valid0`` (nf,) bool mask level-0 couplings."""
     levels = []
-    # Level-0 validity from the device mesh.
-    internal0 = np.asarray(mesh.ck_mask * (1.0 - mesh.ck_is_boundary)) > 0
-    internal0 = internal0[:, :4]
-    diag_valid0 = np.asarray(mesh.c_valid) > 0
-    kf = mesh.max_faces
-
     nyf, nxf = ny, nx
     first = True
     while nyf * nxf > _MIN_COARSE and len(levels) < _MAX_LEVELS \
@@ -315,6 +305,22 @@ def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
             rap_target=jnp.asarray(targets, jnp.int32)))
         nyf, nxf = nyc, nxc
         first = False
+    return levels
+
+
+def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
+    """Geometric-aggregation multigrid for structured meshes: repeated 2x2
+    block coarsening.  Piecewise-constant transfer + Galerkin product, like
+    the reference AMG, but every level keeps the 5-point grid structure."""
+    if not mesh.structured:
+        return None
+    ny, nx = mesh.grid_shape
+    # Level-0 validity from the device mesh.
+    internal0 = np.asarray(mesh.ck_mask * (1.0 - mesh.ck_is_boundary)) > 0
+    internal0 = internal0[:, :4]
+    diag_valid0 = np.asarray(mesh.c_valid) > 0
+
+    levels = _structured_levels(ny, nx, internal0, diag_valid0)
     if not levels:
         return None
     diag_valid2 = jnp.asarray(diag_valid0.reshape(ny, nx), jnp.float32)
@@ -323,6 +329,107 @@ def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
     return StructuredAmgHierarchy(levels=tuple(levels),
                                   diag_valid2=diag_valid2,
                                   internal2=internal2)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass(frozen=True)
+class MultilevelAmg:
+    """Pressure multigrid for multilevel (locally-refined quadtree) meshes.
+
+    The composite mesh is embedded in its finest uniform grid: every cell's
+    value is replicated over its 2^l x 2^l fine squares, a structured
+    V-cycle preconditions the fine-grid Laplacian (built per assembly from
+    the spread rho*d_p field), and the correction is averaged back.  The
+    fine operator is spectrally close to the composite Schur operator (the
+    2D Poisson stencil is scale-invariant: area/dist = 1 at every level), so
+    FGMRES converges at near-uniform-mesh iteration counts while the V-cycle
+    itself runs at full stencil speed.  Assumes the outlet lies on the
+    domain's east edge (true for all reference geometries)."""
+    fine: StructuredAmgHierarchy
+    ml_levels: tuple              # static composite level grids, finest first
+    outlet_e2: jnp.ndarray        # (ny0, nx0) f32: fine squares with an
+    #                               outlet east face
+
+    def tree_flatten(self):
+        return ((self.fine, self.outlet_e2), (self.ml_levels,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(fine=children[0], ml_levels=aux[0], outlet_e2=children[1])
+
+
+def _ml_spread(ml_levels, x, extensive=False):
+    """Composite (N,) -> fine (ny0, nx0): each cell's value replicated over
+    its fine squares.  ``extensive`` divides level-l values by 4^l (for
+    quantities that are integrals over the cell, e.g. the continuity RHS)."""
+    grids = list(ml_levels)
+    out = None
+    off = 0
+    for li, (ny, nx) in enumerate(grids):
+        xg = x[off:off + ny * nx].reshape(ny, nx)
+        off += ny * nx
+        if extensive and li:
+            xg = xg / (4.0 ** li)
+        for k in range(li, 0, -1):
+            xg = _GridOps(grids[k - 1]).prolong2(grids[k], xg)
+        out = xg if out is None else out + xg
+    return out
+
+
+def _ml_restrict_avg(ml_levels, xf):
+    """Fine (ny0, nx0) -> composite (N,): average over each cell's fine
+    squares (intensive restriction, the adjoint of _ml_spread up to 4^l)."""
+    grids = list(ml_levels)
+    parts = [xf.reshape(-1)]
+    cur = xf
+    for li in range(1, len(grids)):
+        cur = _GridOps(grids[li - 1]).restrict2(grids[li], cur)   # 2x2 sum
+        parts.append((cur / (4.0 ** li)).reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def build_multilevel_amg(mesh) -> MultilevelAmg | None:
+    """Build the fine-grid hierarchy + masks for a multilevel DeviceMesh."""
+    if not mesh.multilevel:
+        return None
+    grids = mesh.ml_levels
+    ny0, nx0 = grids[0]
+
+    def spread_np(v):
+        out = np.zeros((ny0, nx0))
+        off = 0
+        for li, (ny, nx) in enumerate(grids):
+            g = v[off:off + ny * nx].reshape(ny, nx)
+            off += ny * nx
+            up = np.kron(g, np.ones((1 << li, 1 << li)))
+            out += up[:ny0, :nx0]
+        return out
+
+    valid = np.asarray(mesh.c_valid)
+    fluid = spread_np(valid) > 0                       # (ny0, nx0)
+
+    internal2 = np.zeros((4, ny0, nx0), dtype=bool)
+    internal2[0, :, :-1] = fluid[:, :-1] & fluid[:, 1:]   # E
+    internal2[1, :, 1:] = fluid[:, 1:] & fluid[:, :-1]    # W
+    internal2[2, :-1, :] = fluid[:-1, :] & fluid[1:, :]   # N
+    internal2[3, 1:, :] = fluid[1:, :] & fluid[:-1, :]    # S
+    internal0 = np.moveaxis(internal2, 0, 2).reshape(-1, 4)
+
+    levels = _structured_levels(ny0, nx0, internal0, fluid.reshape(-1))
+    if not levels:
+        return None
+    fine = StructuredAmgHierarchy(
+        levels=tuple(levels),
+        diag_valid2=jnp.asarray(fluid, jnp.float32),
+        internal2=jnp.asarray(internal2.astype(np.float32)))
+
+    has_outlet = ((np.asarray(mesh.ck_boundary) == 2)
+                  & (np.asarray(mesh.ck_mask) > 0)).any(axis=1)
+    outlet = spread_np(has_outlet.astype(np.float64)) > 0
+    outlet_e2 = np.zeros((ny0, nx0))
+    outlet_e2[:, -1] = (outlet & fluid)[:, -1]
+    return MultilevelAmg(fine=fine, ml_levels=tuple(grids),
+                         outlet_e2=jnp.asarray(outlet_e2, jnp.float32))
 
 
 def _dense_factor(diag, off, cols):
@@ -710,14 +817,73 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     return xs[0]
 
 
-def make_pressure_solve(hier, mesh, sys: BlockSystem):
+def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None):
     """pressure_solve(rhs_p) closure for the Schur preconditioner (the AMG
     path of coupled_solver_fgmres.rs:1942-1946).
 
     ``hier`` must reach the jitted computation as an *argument* pytree, never
     a Python closure constant — its index arrays would otherwise be embedded
     in the HLO as literals (huge programs; breaks remote compilation).
+    ``coeff`` (multilevel only): the composite rho*d_p field used to build
+    the fine-grid operator.
     """
+    if isinstance(hier, MultilevelAmg):
+        grids = hier.ml_levels
+        ny0, nx0 = grids[0]
+        fh = hier.fine
+        valid = mesh.c_valid
+        # Mask composite holes before any spread: a level-l hole position
+        # (region refined elsewhere / solid) would otherwise upsample its
+        # junk into fine squares owned by OTHER cells.
+        c2 = _ml_spread(grids, coeff * valid)            # intensive rho*d_p
+        intl = fh.internal2
+        ops0 = _GridOps((ny0, nx0))
+        e, w, n, s = ops0.shifts2(c2)
+        # Uniform fine-grid pressure Laplacian: area/dist = 1 per face,
+        # lam = 1/2, Dirichlet p=0 at the outlet column.
+        offE = -0.5 * (c2 + e) * intl[0]
+        offW = -0.5 * (c2 + w) * intl[1]
+        offN = -0.5 * (c2 + n) * intl[2]
+        offS = -0.5 * (c2 + s) * intl[3]
+        off2 = jnp.stack([offE, offW, offN, offS])
+        diag2 = -(offE + offW + offN + offS) + hier.outlet_e2 * c2
+        lv2 = compute_structured_level_values2(fh, diag2, off2)
+        dc, oc = lv2[-1]
+        factors = _dense_factor(
+            dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+            _GridOps(fh.levels[-1].grid).neighbor_cols())
+        dinv0 = jnp.where(jnp.abs(diag2) > 1e-30, 1.0 / diag2, 0.0)
+
+        from .blockell import scalar_spmv
+        Pd = sys.P_diag
+        Po = sys.P_off
+        dpi = sys.diag_p_inv
+        omega_s = 0.8
+
+        def fine_correct(r):
+            """Approximate composite solve via the fine-grid V-cycle."""
+            rf = _ml_spread(grids, r * valid, extensive=True)
+            zf = structured_v_cycle(fh, lv2, rf.reshape(-1),
+                                    (dinv0 * rf).reshape(-1),
+                                    coarse_factors=factors)
+            return _ml_restrict_avg(grids, zf.reshape(ny0, nx0))
+
+        def pressure_solve(rhs_p):
+            # FAC-style two-grid: damped-Jacobi smoothing on the TRUE
+            # composite operator handles the rough/cross-level error the
+            # fine-grid surrogate misrepresents; the fine V-cycle supplies
+            # the smooth correction.  The surrogate alone stalls FGMRES
+            # (cross-level rows differ at O(1); the smooth modes also see
+            # the _NULL_SHIFT damping).
+            z = omega_s * dpi * rhs_p
+            z = z + fine_correct(rhs_p - scalar_spmv(Pd, Po, mesh, z))
+            z = z + omega_s * dpi * (rhs_p - scalar_spmv(Pd, Po, mesh, z))
+            # Identity on hole components, matching the composite P's
+            # identity rows (keeps the preconditioned operator = I there).
+            return jnp.where(valid > 0, z, rhs_p)
+
+        return pressure_solve
+
     if isinstance(hier, StructuredAmgHierarchy):
         ny, nx = hier.levels[0].fine_grid
         lv2 = compute_structured_level_values2(
@@ -751,10 +917,15 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem):
 
 def build_hierarchy_for_mesh(mesh):
     """Build the hierarchy for a DeviceMesh: geometric 2x2 multigrid on
-    structured meshes (stencil-only), generic greedy AMG otherwise.  None if
-    the mesh is too small."""
+    structured meshes (stencil-only), fine-grid-embedded multigrid on
+    multilevel meshes, generic greedy AMG otherwise.  None if the mesh is
+    too small."""
     if mesh.structured:
         hier = build_structured_hierarchy(mesh)
+        if hier is not None:
+            return hier
+    if mesh.multilevel:
+        hier = build_multilevel_amg(mesh)
         if hier is not None:
             return hier
     hier = build_hierarchy(np.asarray(mesh.ck_neighbor),

@@ -104,6 +104,54 @@ def test_slot_flux_conservation(refined):
     assert np.abs(sums).max() < 1e-5 * max(scale, 1e-30)
 
 
+def test_multilevel_fine_grid_amg(refined):
+    """The fine-grid-embedded multigrid preconditioner (MultilevelAmg) must
+    match the chebyshev path's FGMRES iteration count, and its per-apply
+    action must leave hole components untouched (identity rows)."""
+    _, mesh = refined
+    from cfd2_tpu.models.assembly import assemble_coupled, prepare
+    from cfd2_tpu.ops.amg import (MultilevelAmg, build_hierarchy_for_mesh,
+                                  make_pressure_solve)
+    from cfd2_tpu.ops.blockell import block_spmv
+    from cfd2_tpu.ops.fgmres import fgmres_solve
+    from cfd2_tpu.ops.schur import schur_preconditioner
+    from cfd2_tpu.runtime.state import (SolverConfig, SolverParams,
+                                        initial_state)
+    dm = encode_mesh(mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.005)
+    u0 = np.zeros((mesh.num_cells, 2))
+    u0[mesh.cell_cx < 0.04, 0] = 1.0
+    state = initial_state(dm, u0=u0)
+    state = jax.jit(prepare, static_argnames=("config",))(
+        dm, state, params, config)
+    sys_ = assemble_coupled(dm, state, params, config)
+    hier = build_hierarchy_for_mesh(dm)
+    assert isinstance(hier, MultilevelAmg)
+    ps = make_pressure_solve(hier, dm, sys_,
+                             coeff=params.density * state.d_p)
+
+    # Identity on holes.
+    rng = np.random.default_rng(3)
+    r = jnp.asarray(rng.standard_normal(dm.num_cells).astype(np.float32))
+    z = np.asarray(ps(r))
+    holes = np.asarray(dm.c_valid) == 0
+    np.testing.assert_allclose(z[holes], np.asarray(r)[holes], rtol=0, atol=0)
+
+    nsw = config.pressure_sweeps(dm.num_cells)
+    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+    mv = lambda x: block_spmv(sys_, dm, x)
+    iters = {}
+    for tag, psolve in [("amg", ps), ("cheb", None)]:
+        pc = lambda rr: schur_preconditioner(
+            sys_, dm, rr, config.precond_omega, nsw, pressure_solve=psolve)
+        res = fgmres_solve(mv, pc, sys_.rhs, x0, restart=50,
+                           max_restarts=20, tol=1e-5, abstol=1e-7)
+        assert bool(res.converged)
+        iters[tag] = int(res.iterations)
+    assert iters["amg"] <= 2 * iters["cheb"], iters
+
+
 def test_multilevel_solver_matches_generic(refined):
     _, mesh = refined
     results = {}
