@@ -688,7 +688,7 @@ def structured_level_values_2d(hier: StructuredAmgHierarchy, level_values):
 
 def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
                        b0: jnp.ndarray, x0: jnp.ndarray,
-                       coarse_factors=None) -> jnp.ndarray:
+                       coarse_factors=None, sweeps: int = 1) -> jnp.ndarray:
     """One V(1,1)-cycle with red-black Gauss-Seidel smoothing and an exact
     (dense, regularized) coarsest solve — all stencils/reshapes, no gathers.
     Plain-aggregation transfers need a strong smoother: damped Jacobi V(1,1)
@@ -715,9 +715,10 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
             ny, nx = grids[i]
             off_flat = jnp.moveaxis(off2.reshape(4, ny * nx), 0, 1)
             x = smooth_rbgs_pallas((ny, nx), diag2.reshape(-1), off_flat,
-                                   xg.reshape(-1), bg.reshape(-1))
+                                   xg.reshape(-1), bg.reshape(-1),
+                                   sweeps=sweeps)
             return x.reshape(ny, nx)
-        return ops[i].smooth_rbgs2(diag2, off2, xg, bg)
+        return ops[i].smooth_rbgs2(diag2, off2, xg, bg, sweeps=sweeps)
 
     xs = [x0.reshape(grids[0])]
     bs = [b0.reshape(grids[0])]
