@@ -52,7 +52,8 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
     else:
         precond = lambda r: schur_preconditioner(
             sys, mesh, r, config.precond_omega, n_sweeps,
-            pressure_solve=pressure_solve)
+            pressure_solve=pressure_solve,
+            mom_sweeps=config.precond_mom_sweeps)
     x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
     return fgmres_solve(
         matvec, precond, sys.rhs, x0,
@@ -91,7 +92,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
         ps = (st.make_pressure_solve2(amg, ss)
               if config.precond_type == PRECOND_AMG else None)
         precond = lambda r: st.schur_precond_planar(
-            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps)
+            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
+            mom_sweeps=config.precond_mom_sweeps)
         x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
         result = fgmres_solve(
             matvec, precond, st.to_planar(ss, ss.rhs),

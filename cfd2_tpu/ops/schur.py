@@ -49,9 +49,23 @@ def block_jacobi_preconditioner(sys: BlockSystem, r: jnp.ndarray) -> jnp.ndarray
     return jnp.linalg.solve(sys.A_diag, r[..., None])[..., 0]
 
 
+def _momentum_solve(sys: BlockSystem, mesh, r_u, r_v, sweeps: int):
+    """Approximate momentum-block inverse: Jacobi iteration seeded with the
+    diagonal predict.  ``sweeps=1`` matches the reference's bare diagonal
+    (schur_precond.wgsl:149-156)."""
+    z_u = sys.diag_u_inv * r_u
+    z_v = sys.diag_v_inv * r_v
+    for _ in range(sweeps - 1):
+        z_u = sys.diag_u_inv * (
+            r_u - jnp.sum(sys.A_off[:, :, 0, 0] * mesh.gather(z_u), axis=1))
+        z_v = sys.diag_v_inv * (
+            r_v - jnp.sum(sys.A_off[:, :, 1, 1] * mesh.gather(z_v), axis=1))
+    return z_u, z_v
+
+
 def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
                          omega: float, n_sweeps: int,
-                         pressure_solve=None) -> jnp.ndarray:
+                         pressure_solve=None, mom_sweeps: int = 1) -> jnp.ndarray:
     """Apply M^{-1} to a residual r of shape (N, 3); returns z of shape (N, 3).
 
     ``pressure_solve`` overrides step 3 (e.g. with an AMG V-cycle); it takes
@@ -62,8 +76,7 @@ def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
     r_p = r[:, 2]
 
     # 1. Predict velocity (schur_precond.wgsl:149-156).
-    z_u = sys.diag_u_inv * r_u
-    z_v = sys.diag_v_inv * r_v
+    z_u, z_v = _momentum_solve(sys, mesh, r_u, r_v, mom_sweeps)
 
     # 2. Schur RHS: r_p' = r_p - D z_u using the pressure rows of the coupled
     #    blocks (schur_precond.wgsl:158-181).  Note the reference computes the
@@ -86,7 +99,8 @@ def schur_preconditioner(sys: BlockSystem, mesh, r: jnp.ndarray,
     zg_p = mesh.gather(z_p)                      # (N, K)
     g_u = sys.A_diag[:, 0, 2] * z_p + jnp.sum(sys.A_off[:, :, 0, 2] * zg_p, axis=1)
     g_v = sys.A_diag[:, 1, 2] * z_p + jnp.sum(sys.A_off[:, :, 1, 2] * zg_p, axis=1)
-    z_u = z_u - sys.diag_u_inv * g_u
-    z_v = z_v - sys.diag_v_inv * g_v
+    gz_u, gz_v = _momentum_solve(sys, mesh, g_u, g_v, mom_sweeps)
+    z_u = z_u - gz_u
+    z_v = z_v - gz_v
 
     return jnp.stack([z_u, z_v, z_p], axis=1)

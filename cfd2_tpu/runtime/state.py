@@ -66,6 +66,13 @@ class SolverConfig:
     # Schur pressure relaxation: coupled_solver_fgmres.rs:1812-1817
     precond_omega: float = 1.2
     pressure_iters: int = 0   # 0 -> auto: min(20 + sqrt(N)/2, 200)
+    # Momentum-block Jacobi sweeps inside the Schur preconditioner.  1 is the
+    # reference's bare diagonal predict (schur_precond.wgsl:149-156); higher
+    # values fold the momentum off-diagonals in (measured: 42 -> 33 FGMRES
+    # iters at 3 sweeps on a developed 120k-cell state, at ~one extra stencil
+    # application per sweep — a wash at small sizes, net win when the Krylov
+    # basis is long).
+    precond_mom_sweeps: int = 1
 
     # Steady-state / degeneracy detection: coupled_solver.rs:501-580
     evolution_threshold: float = 1e-6

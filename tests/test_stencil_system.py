@@ -81,6 +81,28 @@ def test_schur_precond_matches(setup):
     assert np.abs(z_st - z_ref).max() < 1e-4 * max(scale, 1.0)
 
 
+def test_schur_precond_mom_sweeps_matches(setup):
+    """Multi-sweep momentum predict: planar stencil form == generic
+    block-ELL form (both fold momentum off-diagonals identically)."""
+    dm, config, sys_, ss = setup
+    r = _rand_x(dm, seed=7)
+    n_sweeps = config.pressure_sweeps(dm.num_cells)
+    for ms in (2, 3):
+        z_ref = np.asarray(schur_preconditioner(
+            sys_, dm, r, config.precond_omega, n_sweeps, mom_sweeps=ms))
+        z_pl = np.asarray(st.from_planar(ss, st.schur_precond_planar(
+            ss, st.to_planar(ss, r), config.precond_omega, n_sweeps,
+            mom_sweeps=ms)))
+        scale = np.abs(z_ref).max()
+        assert np.abs(z_pl - z_ref).max() < 1e-4 * max(scale, 1.0)
+    # sweeps=1 stays the bare diagonal predict (reference parity).
+    z1 = np.asarray(schur_preconditioner(
+        sys_, dm, r, config.precond_omega, n_sweeps, mom_sweeps=1))
+    z_default = np.asarray(schur_preconditioner(
+        sys_, dm, r, config.precond_omega, n_sweeps))
+    np.testing.assert_allclose(z1, z_default, rtol=0, atol=0)
+
+
 def test_planar_variants_match(setup):
     """(3, ny, nx) component-plane spmv/precond == (N, 3) interleaved forms."""
     dm, config, _, ss = setup

@@ -91,15 +91,16 @@ def main():
     mv = lambda x: st.spmv_planar(ss, x)
 
     variants = [
-        ("v1", make_ps(1, 1)),
-        ("v2", make_ps(2, 1)),
-        ("v1s2", make_ps(1, 2)),
-        ("v2s2", make_ps(2, 2)),
-        ("cheb", None),
+        ("v1", make_ps(1, 1), 1),
+        ("v1m2", make_ps(1, 1), 2),
+        ("v1m3", make_ps(1, 1), 3),
+        ("v2m2", make_ps(2, 1), 2),
+        ("cheb", None, 1),
     ]
-    for tag, ps in variants:
-        pc = (lambda ps: lambda r: st.schur_precond_planar(
-            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps))(ps)
+    for tag, ps, ms in variants:
+        pc = (lambda ps, ms: lambda r: st.schur_precond_planar(
+            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
+            mom_sweeps=ms))(ps, ms)
 
         def solve():
             return fgmres_solve(mv, pc, rhsp, x0, restart=50,
