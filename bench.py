@@ -99,7 +99,9 @@ def run_bench(min_cell=None):
     # fgmres rtol=1e-5 every solve, coupled_solver_fgmres.rs:1737-1740) so
     # the headline number's "matched tolerance" clause is defensible.
     strict_ratio = None
-    if os.environ.get("BENCH_AB_TOL", "1") == "1":
+    ab_default = "1" if n < 300_000 else "0"   # big-shape retrace risks a
+    # compiler wedge (ROADMAP #9); measure the A/B at ladder sizes instead.
+    if os.environ.get("BENCH_AB_TOL", ab_default) == "1":
         s.config = _rep(s.config, adaptive_linear_tol=False)
         s.step(mode=mode)          # compile + warm
         jax.block_until_ready(s.state.u)

@@ -117,6 +117,43 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
                          tol=tol)
 
 
+def _anderson_mix(g, x, Gh, Fh, it, config: SolverConfig):
+    """One Anderson(type-II) mixing step for the outer fixed point x -> G(x).
+
+    ``g`` is the plain relaxed update G(x_k) (flattened), ``x`` the current
+    iterate x_k; ``Gh``/``Fh`` hold the last depth+1 map outputs/residuals
+    (newest first).  Returns (x_next, Gh, Fh).  The depth x depth normal
+    equations are solved on-device (depth is 2-3: the solve is trivially
+    cheap); a safeguard falls back to the plain update when the
+    extrapolation coefficients blow up (noisy residual differences).
+    """
+    m = config.anderson_depth
+    f = g - x
+    Gh = jnp.roll(Gh, 1, axis=0).at[0].set(g)
+    Fh = jnp.roll(Fh, 1, axis=0).at[0].set(f)
+
+    navail = jnp.minimum(it, m)
+    mask = jnp.arange(1, m + 1) <= navail
+    dF = jnp.where(mask[:, None], Fh[0][None] - Fh[1:], 0.0)   # (m, D)
+    dG = jnp.where(mask[:, None], Gh[0][None] - Gh[1:], 0.0)
+
+    gram = dF @ dF.T                                           # (m, m)
+    rhs = dF @ f
+    # Tikhonov-regularize at the gram's own scale; masked rows become
+    # identity rows with zero rhs -> gamma_i = 0 exactly.
+    scale = jnp.maximum(jnp.trace(gram) / m, 1e-30)
+    gram = gram + 1e-8 * scale * jnp.eye(m, dtype=gram.dtype)
+    gram = jnp.where(mask[:, None] & mask[None, :], gram,
+                     jnp.eye(m, dtype=gram.dtype))
+    rhs = jnp.where(mask, rhs, 0.0)
+    gamma = jnp.linalg.solve(gram, rhs)
+
+    ok = (navail >= 1) & jnp.all(jnp.isfinite(gamma)) & \
+        (jnp.sqrt(jnp.sum(gamma * gamma)) <= config.anderson_gamma_max)
+    x_next = jnp.where(ok, g - gamma @ dG, g)
+    return x_next, Gh, Fh
+
+
 def check_evolution(state: SolverState, config: SolverConfig,
                     valid: jnp.ndarray | None = None) -> SolverState:
     """On-device steady-state / degeneracy classifier
@@ -179,13 +216,16 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 
     max_iters = max(config.n_outer_correctors, 10)
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
+    D = mesh.num_cells * 3
+    aa_depth = config.anderson_depth
+    aa_hist0 = jnp.zeros((aa_depth + 1, D), jnp.float32) if aa_depth else None
 
     def cond(carry):
-        state, prev_du, prev_dp, it, done, li, lr = carry
+        state, aa, prev_du, prev_dp, it, done, du_ok, li, lr = carry
         return (it < max_iters) & ~done
 
     def body(carry):
-        state, prev_du, prev_dp, it, done, li, lr = carry
+        state, aa, prev_du, prev_dp, it, done, du_ok, li, lr = carry
 
         # Re-prepare on later iterations / higher-order schemes
         # (coupled_solver.rs:166-189).
@@ -205,8 +245,22 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                                      n_sweeps, lin_tol)
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
-        u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
+        alpha_u = params.alpha_u
+        if config.alpha_u_final > 0:
+            alpha_u = jnp.where(it >= config.alpha_ramp_after,
+                                jnp.asarray(config.alpha_u_final, jnp.float32),
+                                alpha_u)
+        u_new = state.u + alpha_u * (result.x[:, 0:2] - state.u)
         p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
+        if aa_depth:
+            g = jnp.concatenate([u_new, p_new[:, None]], axis=1).reshape(-1)
+            x_cur = jnp.concatenate(
+                [state.u, state.p[:, None]], axis=1).reshape(-1)
+            x_next, Gh, Fh = _anderson_mix(g, x_cur, aa[0], aa[1], it, config)
+            xn = x_next.reshape(-1, 3)
+            u_new = xn[:, 0:2]
+            p_new = xn[:, 2]
+            aa = (Gh, Fh)
         diff_u = jnp.max(jnp.abs(u_new - state.u))
         diff_p = jnp.max(jnp.abs(p_new - state.p))
         state = replace(state, u=u_new, p=p_new,
@@ -219,14 +273,19 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         rel_p = jnp.abs((diff_p - prev_dp) / jnp.maximum(jnp.abs(prev_dp), 1e-14))
         stagnated = (rel_u < config.outer_stagnation_factor) & \
                     (rel_p < config.outer_stagnation_factor) & (it > 2)
-        done = (converged & (it > 0)) | stagnated
+        # Pressure-plateau patience (see SolverConfig.outer_pressure_patience).
+        du_ok = jnp.where(diff_u < config.outer_tol_u, du_ok + 1, 0)
+        plateau = (config.outer_pressure_patience > 0) & \
+            (du_ok >= config.outer_pressure_patience)
+        done = (converged & (it > 0)) | stagnated | plateau
 
-        return (state, diff_u, diff_p, it + 1, done,
+        return (state, aa, diff_u, diff_p, it + 1, done, du_ok,
                 result.iterations, result.residual)
 
-    init = (state, big, big, jnp.int32(0), jnp.asarray(False),
+    init = (state, (aa_hist0, aa_hist0) if aa_depth else (), big, big,
+            jnp.int32(0), jnp.asarray(False), jnp.int32(0),
             jnp.int32(0), jnp.asarray(0.0, jnp.float32))
-    state, _, _, it, _, li, lr = lax.while_loop(cond, body, init)
+    state, _, _, _, it, _, _, li, lr = lax.while_loop(cond, body, init)
     state = replace(state, time=state.time + params.dt,
                     linear_iters=li, linear_residual=lr)
 
@@ -251,23 +310,40 @@ def begin_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 @partial(jax.jit, static_argnames=("config", "do_prepare"))
 def outer_iteration(mesh: DeviceMesh, state: SolverState,
                     params: SolverParams, config: SolverConfig,
-                    amg=None, do_prepare: bool = True, lin_tol=None):
+                    amg=None, do_prepare: bool = True, lin_tol=None,
+                    aa=None, it=0):
     """One outer corrector: (prepare) -> assemble -> solve -> update.
-    Returns (state, diff_u, diff_p)."""
+    Returns (state, diff_u, diff_p, aa); ``aa`` is the Anderson history pair
+    (or None when config.anderson_depth == 0)."""
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
     if do_prepare:
         state = prepare(mesh, state, params, config)
     result = _assemble_and_solve(mesh, state, params, config, amg,
                                  n_sweeps, lin_tol)
-    u_new = state.u + params.alpha_u * (result.x[:, 0:2] - state.u)
+    alpha_u = params.alpha_u
+    if config.alpha_u_final > 0:
+        alpha_u = jnp.where(jnp.asarray(it) >= config.alpha_ramp_after,
+                            jnp.asarray(config.alpha_u_final, jnp.float32),
+                            alpha_u)
+    u_new = state.u + alpha_u * (result.x[:, 0:2] - state.u)
     p_new = state.p + params.alpha_p * (result.x[:, 2] - state.p)
+    if config.anderson_depth and aa is not None:
+        g = jnp.concatenate([u_new, p_new[:, None]], axis=1).reshape(-1)
+        x_cur = jnp.concatenate(
+            [state.u, state.p[:, None]], axis=1).reshape(-1)
+        x_next, Gh, Fh = _anderson_mix(g, x_cur, aa[0], aa[1],
+                                       jnp.asarray(it, jnp.int32), config)
+        xn = x_next.reshape(-1, 3)
+        u_new = xn[:, 0:2]
+        p_new = xn[:, 2]
+        aa = (Gh, Fh)
     diff_u = jnp.max(jnp.abs(u_new - state.u))
     diff_p = jnp.max(jnp.abs(p_new - state.p))
     state = replace(state, u=u_new, p=p_new,
                     outer_residual_u=diff_u, outer_residual_p=diff_p,
                     linear_iters=result.iterations,
                     linear_residual=result.residual)
-    return state, diff_u, diff_p
+    return state, diff_u, diff_p, aa
 
 
 @partial(jax.jit, static_argnames=("config",))
@@ -284,6 +360,12 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     state = begin_step(mesh, state, params, config)
     max_iters = max(config.n_outer_correctors, 10)
     prev_du = prev_dp = float("inf")
+    du_ok = 0
+    aa = None
+    if config.anderson_depth:
+        z = jnp.zeros((config.anderson_depth + 1, mesh.num_cells * 3),
+                      jnp.float32)
+        aa = (z, z)
     for it in range(max_iters):
         do_prep = it > 0 or config.scheme != SCHEME_UPWIND
         if config.adaptive_linear_tol:
@@ -291,8 +373,9 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                                   jnp.float32)
         else:
             lin_tol = None
-        state, du, dp = outer_iteration(mesh, state, params, config, amg,
-                                        do_prepare=do_prep, lin_tol=lin_tol)
+        state, du, dp, aa = outer_iteration(mesh, state, params, config, amg,
+                                            do_prepare=do_prep,
+                                            lin_tol=lin_tol, aa=aa, it=it)
         du = float(du)
         dp = float(dp)
         if verbose:
@@ -309,6 +392,10 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         rel_p = abs(dp - prev_dp) / max(abs(prev_dp), 1e-14)
         if it > 2 and rel_u < config.outer_stagnation_factor \
                 and rel_p < config.outer_stagnation_factor:
+            break
+        du_ok = du_ok + 1 if du < config.outer_tol_u else 0
+        if config.outer_pressure_patience > 0 \
+                and du_ok >= config.outer_pressure_patience:
             break
         prev_du, prev_dp = du, dp
     return finish_step(mesh, state, params, config)

@@ -47,6 +47,31 @@ class SolverConfig:
     outer_tol_u: float = 1e-5
     outer_tol_p: float = 1e-4
     outer_stagnation_factor: float = 1e-2
+    # Outer relaxation ramp: the under-relaxed corrector contracts its error
+    # by exactly (1 - alpha_u) per outer once the solve is tight, so fixed
+    # alpha_u = 0.7 costs ~3x the outers of alpha 1.0 in the linearized
+    # tail.  After `alpha_ramp_after` outers the effective alpha_u ramps to
+    # alpha_u_final (0 disables; the converged state is the same fixed point
+    # either way, so the reference's convergence contract is preserved —
+    # early outers keep the damped alpha for nonlinear robustness).
+    alpha_u_final: float = 1.0
+    alpha_ramp_after: int = 2
+    # Anderson acceleration of the outer Picard iteration (depth = number of
+    # history differences; 0 disables).  The under-relaxed corrector is a
+    # fixed-point map whose converged state is iteration-path-independent, so
+    # accelerating it preserves the reference's convergence contract; the
+    # mixing coefficients come from a tiny (depth x depth) least-squares
+    # solved on-device each outer, safeguarded by anderson_gamma_max (fall
+    # back to the plain relaxed update when the extrapolation is wild).
+    anderson_depth: int = 0
+    anderson_gamma_max: float = 2.0
+    # Pressure-plateau patience: when du has been below outer_tol_u for this
+    # many consecutive outers while dp wanders on a sub-tolerance-scale noise
+    # plateau (linear-solve error amplified through the Schur complement; the
+    # reference burns to its 20-cap in exactly this regime), exit.  The
+    # returned fields match the burn-to-cap result to within the plateau
+    # amplitude (pinned by tests/test_solver_convergence.py).  0 disables.
+    outer_pressure_patience: int = 5
 
     # FGMRES: reference coupled_solver_fgmres.rs:1737-1740
     fgmres_restart: int = 50

@@ -164,7 +164,10 @@ def test_multilevel_solver_matches_generic(refined):
         s.mesh = dm
         from cfd2_tpu.runtime.state import (SolverConfig, SolverParams,
                                             initial_state)
-        s.config = SolverConfig()
+        # Strict outer policy: this is an encoding-parity test, and the
+        # accelerated outer loop (alpha ramp / plateau exit) amplifies
+        # path-rounding differences between the two encodings.
+        s.config = SolverConfig(alpha_u_final=0.0, outer_pressure_patience=0)
         s.params = SolverParams.default()
         s.state = initial_state(s.mesh)
         s._amg = None
