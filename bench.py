@@ -62,7 +62,9 @@ def run_bench(min_cell=None):
     from dataclasses import replace as _rep
     s.config = _rep(s.config,
                     fgmres_max_restarts=int(os.environ.get(
-                        "BENCH_MAX_RESTARTS", "5")))
+                        "BENCH_MAX_RESTARTS", "5")),
+                    precond_mom_sweeps=int(os.environ.get(
+                        "BENCH_MOM_SWEEPS", "1")))
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)

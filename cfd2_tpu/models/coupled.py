@@ -274,7 +274,9 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         stagnated = (rel_u < config.outer_stagnation_factor) & \
                     (rel_p < config.outer_stagnation_factor) & (it > 2)
         # Pressure-plateau patience (see SolverConfig.outer_pressure_patience).
-        du_ok = jnp.where(diff_u < config.outer_tol_u, du_ok + 1, 0)
+        # 2x margin: on the plateau du bounces around tol_u (solve noise), and
+        # requiring strict sub-tol hits would keep the burn-to-cap behavior.
+        du_ok = jnp.where(diff_u < 2.0 * config.outer_tol_u, du_ok + 1, 0)
         plateau = (config.outer_pressure_patience > 0) & \
             (du_ok >= config.outer_pressure_patience)
         done = (converged & (it > 0)) | stagnated | plateau
@@ -393,7 +395,7 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         if it > 2 and rel_u < config.outer_stagnation_factor \
                 and rel_p < config.outer_stagnation_factor:
             break
-        du_ok = du_ok + 1 if du < config.outer_tol_u else 0
+        du_ok = du_ok + 1 if du < 2.0 * config.outer_tol_u else 0
         if config.outer_pressure_patience > 0 \
                 and du_ok >= config.outer_pressure_patience:
             break

@@ -24,6 +24,7 @@ relative improvement (coupled_solver_fgmres.rs:1737-1740, 2403-2419).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -57,26 +58,60 @@ def fgmres_solve(
     stagnation_tol: float = 1e-3,
     stagnation_limit: int = 3,
     cgs_chunk_rows: int = 8,
+    flatten: bool | None = None,
 ) -> FgmresResult:
-    """Solve A x = b; vectors have shape (N, 3) (or any fixed shape)."""
+    """Solve A x = b; vectors have shape (N, 3) (or any fixed shape).
+
+    ``flatten``: work on flattened (D,) vectors internally (basis (m+1, D)).
+    Right for interleaved (N, 3) vectors, whose 3-wide minor axis would
+    otherwise tile-pad the basis 42x.  For 2D-tiled planar vectors (e.g.
+    (3, ny, nx)) flattening is *wrong*: TPU stores the flat vector in linear
+    T(1024) layout while the stencil matvec/precond operate in T(8,128)
+    tiles, so every iteration pays physical relayouts at the pc/mv
+    boundaries.  Default (None): flatten unless the trailing axis is
+    lane-sized (>= 128).
+    """
     m = restart
     shape = b.shape
     dtype = b.dtype
+    if flatten is None:
+        env = os.environ.get("CFD2_FGMRES_FLATTEN")   # A/B override
+        flatten = bool(int(env)) if env else shape[-1] < 128
 
-    # Work on flattened vectors internally; user callables see `shape`.
-    bf = b.reshape(-1)
-    D = bf.shape[0]
-    mv = lambda xf: matvec(xf.reshape(shape)).reshape(-1)
-    pc = lambda rf: precond(rf.reshape(shape)).reshape(-1)
+    if flatten:
+        # Work on flattened vectors internally; user callables see `shape`.
+        bf = b.reshape(-1)
+        mv = lambda xf: matvec(xf.reshape(shape)).reshape(-1)
+        pc = lambda rf: precond(rf.reshape(shape)).reshape(-1)
+        x0 = x0.reshape(-1)
+    else:
+        bf = b
+        mv = matvec
+        pc = precond
+    vshape = bf.shape
+    vaxes = tuple(range(1, len(vshape) + 1))   # basis-row reduction axes
+
+    def rowdot(Vc, w):
+        """Per-row dots <V_i, w> without layout change: matmul on flat
+        vectors (MXU, measured at HBM roofline), multiply-reduce on tiled."""
+        if flatten:
+            return Vc @ w
+        return jnp.sum(Vc * w[None], axis=vaxes)
+
+    def rowexp(d, Vc):
+        """sum_i d_i V_i (the projection / solution update)."""
+        if flatten:
+            return d @ Vc
+        return jnp.sum(d.reshape(d.shape + (1,) * len(vshape)) * Vc, axis=0)
 
     rhs_norm = _norm(bf)
     target = jnp.maximum(tol * rhs_norm, abstol)
 
-    r0 = bf - mv(x0.reshape(-1))
+    r0 = bf - mv(x0)
     beta0 = _norm(r0)
 
-    V0 = jnp.zeros((m + 1, D), dtype)
-    Z0 = jnp.zeros((m, D), dtype)
+    V0 = jnp.zeros((m + 1,) + vshape, dtype)
+    Z0 = jnp.zeros((m,) + vshape, dtype)
     H0 = jnp.zeros((m + 1, m), dtype)
 
     def inner_cycle(x, V, Z, H, beta):
@@ -114,9 +149,9 @@ def fgmres_solve(
                 maskc = idx[start:start + size] <= j
 
                 def _chunk(Vc=Vc, maskc=maskc):
-                    d = Vc @ w
+                    d = rowdot(Vc, w)
                     d = jnp.where(maskc, d, 0.0)
-                    p = d @ Vc
+                    p = rowexp(d, Vc)
                     return d, p
 
                 if start == 0:
@@ -192,7 +227,7 @@ def fgmres_solve(
         Heff = H[:m, :m] + jnp.diag(jnp.where(km >= j, 1.0, 0.0).astype(dtype))
         geff = jnp.where(km < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Heff, geff, lower=False)
-        x = x + y @ Z
+        x = x + rowexp(y, Z)
         return x, V, Z, H, j, conv
 
     def outer_cond(carry):
@@ -224,7 +259,7 @@ def fgmres_solve(
         return (x, V, Z, H, res_new, k + 1, total, conv_new,
                 stag_new, res_new, res_new)
 
-    init = (x0.reshape(-1), V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
+    init = (x0, V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
             beta0 < target, jnp.int32(0),
             jnp.asarray(jnp.finfo(dtype).max, dtype), beta0)
     (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = \

@@ -66,3 +66,38 @@ def test_exact_initial_guess_takes_zero_iterations():
                        tol=1e-5, abstol=1e-7)
     assert bool(res.converged)
     assert int(res.iterations) == 0
+
+
+def test_no_flatten_path_matches_flat():
+    """flatten=False keeps vectors in their native (possibly tiled) shape;
+    the multiply-reduce CGS must agree with the flat matmul formulation."""
+    rng = np.random.default_rng(3)
+    N = 60
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.1
+    A += np.eye(3 * N, dtype=np.float32) * 5.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    Aj = jnp.asarray(A)
+
+    # Planar shape (3, 4, 15): matvec reorders to/from the flat layout.
+    def mv_planar(xp):
+        xf = xp.reshape(3, -1).T.reshape(-1)      # planar -> interleaved flat
+        yf = Aj @ xf
+        return yf.reshape(-1, 3).T.reshape(3, 4, 15)
+
+    bp = jnp.asarray(b).T.reshape(3, 4, 15)
+    pc = lambda r: r * 0.2
+    res_flat = fgmres_solve(mv_planar, pc, bp, jnp.zeros_like(bp),
+                            restart=20, max_restarts=10, tol=1e-6,
+                            abstol=1e-10, flatten=True)
+    res_nf = fgmres_solve(mv_planar, pc, bp, jnp.zeros_like(bp),
+                          restart=20, max_restarts=10, tol=1e-6,
+                          abstol=1e-10, flatten=False)
+    assert bool(res_flat.converged) and bool(res_nf.converged)
+    xf = np.asarray(res_flat.x)
+    xn = np.asarray(res_nf.x)
+    assert np.abs(xf - xn).max() < 1e-4 * max(np.abs(xf).max(), 1.0)
+    # Both actually solve the system.
+    for x in (xf, xn):
+        xi = x.reshape(3, -1).T.reshape(-1)
+        rel = np.linalg.norm(A @ xi - b.reshape(-1)) / np.linalg.norm(b)
+        assert rel < 1e-4
