@@ -51,5 +51,7 @@ def test_fine_mesh_obstacle_step():
     mesh = generate_cut_cell_mesh(geo, 0.001, 0.001, 1.2, (3.0, 1.0))
     s = CoupledSolver(mesh)
     s.set_dt(0.0004)
-    s.step()
+    # Host-driven outer loop: one device execution per corrector keeps
+    # 3M-shaped programs within the remote compiler's envelope.
+    s.step(mode="host")
     assert np.isfinite(s.get_u()).all()
