@@ -72,31 +72,31 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
     Returns the updated flat x.
     """
     ny, nx = grid_shape
+    # Mosaic DMA slices must be lane-aligned: run the kernel at a width
+    # padded to a multiple of 128.  x pads edge-replicated (so the E clamp at
+    # the true right edge still reads its own value); coefficients pad with
+    # zeros, so padded-column updates are inert and sliced away.
+    nxp = _round_up(nx, 128)
     block_rows = min(_round_up(ny, 8),
-                     max(8, (512 * 1024 // max(nx * 4, 1)) // 8 * 8))
+                     max(8, (512 * 1024 // max(nxp * 4, 1)) // 8 * 8))
     ny_pad = _round_up(ny, block_rows)
 
     def grid2(v):
         g = v.reshape(ny, nx)
-        if ny_pad != ny:
-            g = jnp.pad(g, ((0, ny_pad - ny), (0, 0)))
-        return g
+        return jnp.pad(g, ((0, ny_pad - ny), (0, nxp - nx)))
 
-    # x is edge-replicated into both the grid padding and the halo so that
-    # neighbor reads clamp exactly like the jnp path (coefficient rows in the
-    # padding are zero, so padded-row updates are inert and discarded).
-    xpad = jnp.pad(x.reshape(ny, nx), ((_HALO, _HALO + ny_pad - ny), (0, 0)),
+    xpad = jnp.pad(x.reshape(ny, nx),
+                   ((_HALO, _HALO + ny_pad - ny), (0, nxp - nx)),
                    mode="edge")
     og = off.reshape(ny, nx, 4)
-    if ny_pad != ny:
-        og = jnp.pad(og, ((0, ny_pad - ny), (0, 0), (0, 0)))
+    og = jnp.pad(og, ((0, ny_pad - ny), (0, nxp - nx), (0, 0)))
 
     n_blocks = ny_pad // block_rows
-    blk = lambda: pl.BlockSpec((block_rows, nx), lambda i: (i, 0),
+    blk = lambda: pl.BlockSpec((block_rows, nxp), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_rbgs_half_sweep_kernel,
-                          block_rows=block_rows, nx=nx),
+                          block_rows=block_rows, nx=nxp),
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),         # xpad (DMA'd manually)
@@ -106,15 +106,15 @@ def rbgs_half_sweep(x, diag, off, b, parity, grid_shape, interpret=False):
             pl.BlockSpec(memory_space=pltpu.SMEM),      # parity scalar
         ],
         out_specs=blk(),
-        out_shape=jax.ShapeDtypeStruct((ny_pad, nx), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((ny_pad, nxp), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((block_rows + 2 * _HALO, nx), x.dtype),
+            pltpu.VMEM((block_rows + 2 * _HALO, nxp), x.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(xpad, grid2(diag), og[:, :, 0], og[:, :, 1], og[:, :, 2], og[:, :, 3],
       grid2(b), jnp.asarray([parity], jnp.int32))
-    return out[:ny].reshape(-1)
+    return out[:ny, :nx].reshape(-1)
 
 
 def smooth_rbgs_pallas(grid_shape, diag, off, x, b, sweeps=1,
