@@ -53,7 +53,7 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         precond = lambda r: schur_preconditioner(
             sys, mesh, r, config.precond_omega, n_sweeps,
             pressure_solve=pressure_solve,
-            mom_sweeps=config.precond_mom_sweeps)
+            mom_sweeps=config.mom_sweeps(mesh.num_cells))
     x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
     return fgmres_solve(
         matvec, precond, sys.rhs, x0,
@@ -93,7 +93,7 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
               if config.precond_type == PRECOND_AMG else None)
         precond = lambda r: st.schur_precond_planar(
             ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
-            mom_sweeps=config.precond_mom_sweeps)
+            mom_sweeps=config.mom_sweeps(mesh.num_cells))
         x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
         result = fgmres_solve(
             matvec, precond, st.to_planar(ss, ss.rhs),

@@ -94,10 +94,10 @@ class SolverConfig:
     # Momentum-block Jacobi sweeps inside the Schur preconditioner.  1 is the
     # reference's bare diagonal predict (schur_precond.wgsl:149-156); higher
     # values fold the momentum off-diagonals in (measured: 42 -> 33 FGMRES
-    # iters at 3 sweeps on a developed 120k-cell state, at ~one extra stencil
-    # application per sweep — a wash at small sizes, net win when the Krylov
-    # basis is long).
-    precond_mom_sweeps: int = 1
+    # iters at 3 sweeps on a developed 120k-cell state — a wash at small
+    # sizes where iteration cost is launch-bound, +24% end-to-end at 1M
+    # where basis reads dominate).  0 = auto: 1 below 500k cells, 2 above.
+    precond_mom_sweeps: int = 0
 
     # Steady-state / degeneracy detection: coupled_solver.rs:501-580
     evolution_threshold: float = 1e-6
@@ -108,6 +108,11 @@ class SolverConfig:
         if self.pressure_iters > 0:
             return self.pressure_iters
         return int(min(20 + np.sqrt(num_cells) / 2.0, 200.0))
+
+    def mom_sweeps(self, num_cells: int) -> int:
+        if self.precond_mom_sweeps > 0:
+            return self.precond_mom_sweeps
+        return 1 if num_cells < 500_000 else 2
 
 
 @jax.tree_util.register_dataclass
