@@ -70,10 +70,11 @@ def run_bench(min_cell=None):
     s.set_u(u0)
 
     import jax
-    # Large meshes run the host-driven outer loop: one device execution per
-    # outer iteration (smaller programs, shorter executions).
-    mode = os.environ.get("BENCH_MODE",
-                          "host" if n >= 300_000 else "fused")
+    # The fused zero-round-trip step is the flagship path and now compiles
+    # at 1M (368 s through the remote compiler; 674k cell-updates/s vs 620k
+    # host-mode).  The ladder retries the same size in host mode (one device
+    # execution per outer corrector — shorter programs) if fused times out.
+    mode = os.environ.get("BENCH_MODE", "fused")
     print(f"# step mode: {mode}", file=sys.stderr)
     t0 = time.time()
     s.step(mode=mode)
@@ -161,26 +162,32 @@ def main():
 
     ladder = os.environ.get("BENCH_LADDER", "0.0017,0.004,0.008").split(",")
     budget = float(os.environ.get("BENCH_TIMEOUT", "1500"))
-    for attempt, size in enumerate(ladder):
-        if attempt > 0 and not wait_healthy():
-            break
-        env = dict(os.environ, BENCH_CHILD="1", BENCH_MIN_CELL=size)
-        try:
-            proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__)],
-                env=env, timeout=budget, capture_output=True, text=True)
-        except subprocess.TimeoutExpired:
-            print(f"# size {size}: timed out after {budget:.0f}s; "
-                  "falling back", file=sys.stderr)
-            continue
-        sys.stderr.write(proc.stderr)
-        lines = [ln for ln in proc.stdout.splitlines()
-                 if ln.startswith("{")]
-        if proc.returncode == 0 and lines:
-            print(lines[-1])
-            return
-        print(f"# size {size}: failed (rc={proc.returncode}); falling back",
-              file=sys.stderr)
+    modes = ([os.environ["BENCH_MODE"]] if os.environ.get("BENCH_MODE")
+             else ["fused", "host"])
+    first = True
+    for size in ladder:
+        for mode in modes:
+            if not first and not wait_healthy():
+                raise SystemExit("device never became healthy again")
+            first = False
+            env = dict(os.environ, BENCH_CHILD="1", BENCH_MIN_CELL=size,
+                       BENCH_MODE=mode)
+            try:
+                proc = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__)],
+                    env=env, timeout=budget, capture_output=True, text=True)
+            except subprocess.TimeoutExpired:
+                print(f"# size {size} mode {mode}: timed out after "
+                      f"{budget:.0f}s; falling back", file=sys.stderr)
+                continue
+            sys.stderr.write(proc.stderr)
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("{")]
+            if proc.returncode == 0 and lines:
+                print(lines[-1])
+                return
+            print(f"# size {size} mode {mode}: failed "
+                  f"(rc={proc.returncode}); falling back", file=sys.stderr)
     raise SystemExit("bench failed at every ladder size")
 
 

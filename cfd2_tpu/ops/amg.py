@@ -283,13 +283,17 @@ def _structured_rap_target(nyf, nxf, nyc, nxc, kf,
     return targets
 
 
-def _structured_levels(ny, nx, internal0, diag_valid0):
+def _structured_levels(ny, nx, internal0, diag_valid0,
+                       min_coarse=_MIN_COARSE):
     """2x2 coarsening level chain over an (ny, nx) grid.  ``internal0``
-    (nf, 4) bool and ``diag_valid0`` (nf,) bool mask level-0 couplings."""
+    (nf, 4) bool and ``diag_valid0`` (nf,) bool mask level-0 couplings.
+    ``min_coarse``: stop once a level has <= this many cells (the coarsest
+    level gets the exact dense solve; raising it truncates the chain and
+    trades tiny-kernel launches for a bigger LU)."""
     levels = []
     nyf, nxf = ny, nx
     first = True
-    while nyf * nxf > _MIN_COARSE and len(levels) < _MAX_LEVELS \
+    while nyf * nxf > min_coarse and len(levels) < _MAX_LEVELS \
             and (nyf > 1 or nxf > 1):
         nyc = (nyf + 1) // 2
         nxc = (nxf + 1) // 2
@@ -308,7 +312,8 @@ def _structured_levels(ny, nx, internal0, diag_valid0):
     return levels
 
 
-def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
+def build_structured_hierarchy(mesh,
+                               min_coarse=_MIN_COARSE) -> StructuredAmgHierarchy | None:
     """Geometric-aggregation multigrid for structured meshes: repeated 2x2
     block coarsening.  Piecewise-constant transfer + Galerkin product, like
     the reference AMG, but every level keeps the 5-point grid structure."""
@@ -320,7 +325,8 @@ def build_structured_hierarchy(mesh) -> StructuredAmgHierarchy | None:
     internal0 = internal0[:, :4]
     diag_valid0 = np.asarray(mesh.c_valid) > 0
 
-    levels = _structured_levels(ny, nx, internal0, diag_valid0)
+    levels = _structured_levels(ny, nx, internal0, diag_valid0,
+                                min_coarse=min_coarse)
     if not levels:
         return None
     diag_valid2 = jnp.asarray(diag_valid0.reshape(ny, nx), jnp.float32)
