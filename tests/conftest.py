@@ -13,4 +13,8 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# RUN_FINE_MESH=1 runs the gated ~3M-cell test on the real accelerator
+# (reference gpu_fine_mesh_obstacle.rs is likewise hardware-only); everything
+# else forces CPU so the suite runs anywhere.
+if os.environ.get("RUN_FINE_MESH") != "1":
+    jax.config.update("jax_platforms", "cpu")

@@ -118,3 +118,52 @@ def test_jacobi_then_amg_preconditioner(bstep_mesh):
         assert np.isfinite(u).all()
         max_p = np.abs(p).max()
         assert 0.0 < max_p < 1000.0, f"precond {precond}: max_p={max_p}"
+
+
+def test_truncated_structured_hierarchy_contracts():
+    """min_coarse truncation (bigger dense coarsest solve, fewer tiny
+    levels) must preserve V-cycle contraction on a structured mesh."""
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.models.assembly import assemble_stencil
+    from cfd2_tpu.ops.amg import (_GridOps, _dense_factor,
+                                  build_structured_hierarchy,
+                                  compute_structured_level_values2,
+                                  structured_v_cycle)
+
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.02, 0.02, 1.2, (3.0, 1.0))
+    dm = encode_mesh(mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.005)
+    state = initial_state(dm, u0=np.full((dm.num_host_cells, 2), [0.1, 0.0]))
+    state = prepare(dm, state, params, config)
+    ss = assemble_stencil(dm, state, params, config)
+
+    rng = np.random.default_rng(1)
+    ny, nx = dm.grid_shape
+    b = jnp.asarray(rng.standard_normal(ny * nx).astype(np.float32))
+    bn = float(jnp.linalg.norm(b))
+    from cfd2_tpu.ops import stencil_system as st
+
+    for min_coarse in (100, 1500):
+        hier = build_structured_hierarchy(dm, min_coarse=min_coarse)
+        assert hier is not None
+        if min_coarse == 1500:
+            assert len(hier.levels) < n_levels_ref
+        else:
+            n_levels_ref = len(hier.levels)
+        lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+        dc, oc = lv2[-1]
+        fac = _dense_factor(
+            dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+            _GridOps(hier.levels[-1].grid).neighbor_cols())
+        x = jnp.zeros_like(b)
+        for _ in range(4):
+            x = structured_v_cycle(hier, lv2, b, x, coarse_factors=fac)
+        # residual via the level-0 pressure stencil
+        x2 = x.reshape(ny, nx)
+        sigma = st._dot4(ss.P_off2, st._shifts2(x2))
+        r = b.reshape(ny, nx) - (ss.P_diag2 * x2 + sigma)
+        rel = float(jnp.linalg.norm(r.reshape(-1))) / bn
+        assert rel < 0.2, f"min_coarse={min_coarse}: rel={rel}"

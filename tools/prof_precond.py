@@ -75,15 +75,31 @@ def main():
         dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
         _GridOps(hier.levels[-1].grid).neighbor_cols())
 
-    def make_ps(n_cycles=1, sweeps=1):
+    def make_ps(n_cycles=1, sweeps=1, h=None, lv=None, fac=None):
+        h = hier if h is None else h
+        lv = lv2 if lv is None else lv
+        fac = factors if fac is None else fac
+
         def ps(rhs2):
             x = ss.diag_p_inv2 * rhs2
             for _ in range(n_cycles):
-                x = structured_v_cycle(hier, lv2, rhs2.reshape(-1),
-                                       x.reshape(-1), coarse_factors=factors,
+                x = structured_v_cycle(h, lv, rhs2.reshape(-1),
+                                       x.reshape(-1), coarse_factors=fac,
                                        sweeps=sweeps).reshape(ss.grid)
             return x
         return ps
+
+    def make_trunc(min_coarse):
+        from cfd2_tpu.ops.amg import build_structured_hierarchy
+        h = build_structured_hierarchy(dm, min_coarse=min_coarse)
+        lv = compute_structured_level_values2(h, ss.P_diag2, ss.P_off2)
+        dc, oc = lv[-1]
+        fac = _dense_factor(
+            dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+            _GridOps(h.levels[-1].grid).neighbor_cols())
+        print(f"# trunc{min_coarse}: {len(h.levels)} levels, coarsest "
+              f"{h.levels[-1].grid}", flush=True)
+        return make_ps(1, 1, h=h, lv=lv, fac=fac)
 
     x0 = st.to_planar(ss, jnp.concatenate(
         [state.u, state.p[:, None]], axis=1))
@@ -91,10 +107,10 @@ def main():
     mv = lambda x: st.spmv_planar(ss, x)
 
     variants = [
-        ("v1", make_ps(1, 1), 1),
         ("v1m2", make_ps(1, 1), 2),
+        ("t1200m2", make_trunc(1200), 2),
+        ("t4200m2", make_trunc(4200), 2),
         ("v1m3", make_ps(1, 1), 3),
-        ("v2m2", make_ps(2, 1), 2),
         ("cheb", None, 1),
     ]
     for tag, ps, ms in variants:
