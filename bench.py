@@ -107,12 +107,12 @@ def run_bench(min_cell=None):
     if os.environ.get("BENCH_AB_TOL", ab_default) == "1":
         s.config = _rep(s.config, adaptive_linear_tol=False)
         s.step(mode=mode)          # compile + warm
-        jax.block_until_ready(s.state.u)
+        int(s.state.outer_iters)   # value read: a real device sync
         ab_steps = max(2, steps // 2)
         t0 = time.time()
         for _ in range(ab_steps):
             s.step(mode=mode)
-            jax.block_until_ready(s.state.u)
+            int(s.state.outer_iters)
         strict_sps = ab_steps / (time.time() - t0)
         strict_ratio = round(strict_sps / steps_per_sec, 3)
         print(f"# strict-tol A/B: {strict_sps:.3f} steps/s "

@@ -33,14 +33,15 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)
 
-    mode = "host" if n >= 300_000 else "fused"
+    mode = "fused"
     for _ in range(2):   # compile + warmup
         s.step(mode=mode)
-        jax.block_until_ready(s.state.u)
+        int(s.state.outer_iters)   # value read: a real device sync
+        # (block_until_ready is not a reliable fence through the tunnel)
     t0 = time.time()
     for _ in range(steps):
         s.step(mode=mode)
-        jax.block_until_ready(s.state.u)
+        int(s.state.outer_iters)
     dt = (time.time() - t0) / steps
     assert np.isfinite(s.get_u()).all()
     layout = ("structured" if s.mesh.structured
