@@ -107,11 +107,10 @@ def main():
     mv = lambda x: st.spmv_planar(ss, x)
 
     variants = [
-        ("v1m2", make_ps(1, 1), 2),
-        ("t1200m2", make_trunc(1200), 2),
-        ("t4200m2", make_trunc(4200), 2),
         ("v1m3", make_ps(1, 1), 3),
-        ("cheb", None, 1),
+        ("v1m4", make_ps(1, 1), 4),
+        ("v1m6", make_ps(1, 1), 6),
+        ("v1m8", make_ps(1, 1), 8),
     ]
     for tag, ps, ms in variants:
         pc = (lambda ps, ms: lambda r: st.schur_precond_planar(
