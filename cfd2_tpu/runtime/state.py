@@ -110,9 +110,14 @@ class SolverConfig:
         return int(min(20 + np.sqrt(num_cells) / 2.0, 200.0))
 
     def mom_sweeps(self, num_cells: int) -> int:
+        # Measured at 1M (DESIGN.md §9b): FGMRES iterations 48/32/23/11 at
+        # 2/3/4/8 sweeps; end-to-end 620k -> 933k -> 1.23M cell-updates/s
+        # for 2/4/8.  Below ~500k the per-iteration cost is launch-bound and
+        # extra sweeps measured wall-flat, so the reference's bare diagonal
+        # stays.
         if self.precond_mom_sweeps > 0:
             return self.precond_mom_sweeps
-        return 1 if num_cells < 500_000 else 2
+        return 1 if num_cells < 500_000 else 8
 
 
 @jax.tree_util.register_dataclass
