@@ -64,7 +64,7 @@ def run_bench(min_cell=None):
                     fgmres_max_restarts=int(os.environ.get(
                         "BENCH_MAX_RESTARTS", "5")),
                     precond_mom_sweeps=int(os.environ.get(
-                        "BENCH_MOM_SWEEPS", "1")))
+                        "BENCH_MOM_SWEEPS", "0")))   # 0 = size-auto
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)

@@ -107,15 +107,16 @@ def main():
     mv = lambda x: st.spmv_planar(ss, x)
 
     variants = [
-        ("v1m3", make_ps(1, 1), 3),
-        ("v1m4", make_ps(1, 1), 4),
-        ("v1m6", make_ps(1, 1), 6),
-        ("v1m8", make_ps(1, 1), 8),
+        ("v1m8", make_ps(1, 1), 8, False),
+        ("v1m12", make_ps(1, 1), 12, False),
+        ("rb3", make_ps(1, 1), 3, True),     # 4 stencil passes ~ m5 cost
+        ("rb5", make_ps(1, 1), 5, True),     # 8 passes ~ m9 cost
+        ("rb7", make_ps(1, 1), 7, True),
     ]
-    for tag, ps, ms in variants:
-        pc = (lambda ps, ms: lambda r: st.schur_precond_planar(
+    for tag, ps, ms, rb in variants:
+        pc = (lambda ps, ms, rb: lambda r: st.schur_precond_planar(
             ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
-            mom_sweeps=ms))(ps, ms)
+            mom_sweeps=ms, mom_rbgs=rb))(ps, ms, rb)
 
         def solve():
             return fgmres_solve(mv, pc, rhsp, x0, restart=50,
