@@ -117,7 +117,9 @@ class SolverConfig:
         # stays.
         if self.precond_mom_sweeps > 0:
             return self.precond_mom_sweeps
-        return 1 if num_cells < 500_000 else 8
+        if num_cells < 500_000:
+            return 1
+        return 8 if num_cells < 1_500_000 else 12
 
 
 @jax.tree_util.register_dataclass
