@@ -81,6 +81,23 @@ def test_anderson_acceleration_safeguarded():
     assert np.abs(p_aa - p_ref).max() / p_scale < 5e-3
 
 
+def test_deep_momentum_sweeps_same_solution():
+    """The >=500k-cell auto default uses 8-12 Jacobi momentum sweeps in the
+    Schur preconditioner; pin on a small case that deep sweeps change only
+    the iteration path, not the converged fields (preconditioner-only)."""
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.03, 0.03, 1.2, (3.0, 1.0))
+    _, u1, p1 = _run_cfg(mesh, steps=3, precond_mom_sweeps=1)
+    _, u8, p8 = _run_cfg(mesh, steps=3, precond_mom_sweeps=8)
+    _, u12, p12 = _run_cfg(mesh, steps=3, precond_mom_sweeps=12)
+    for u, p in ((u8, p8), (u12, p12)):
+        assert np.isfinite(u).all() and np.isfinite(p).all()
+        assert np.abs(u - u1).max() < 1e-3
+        p_scale = max(np.abs(p1).max(), 1.0)
+        assert np.abs(p - p1).max() / p_scale < 5e-3
+
+
 def test_pressure_plateau_patience():
     geo = ChannelWithObstacle(length=3.0, height=1.0,
                               obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
