@@ -81,12 +81,14 @@ class SolverConfig:
     fgmres_stagnation_tol: float = 1e-3
     fgmres_stagnation_limit: int = 3
     # Inexact-Newton forcing: early outer iterations solve to a looser
-    # relative tolerance (10^-(3+it) floored at fgmres_tol) — the outer
-    # corrector re-solves anyway, and the first solve of a step otherwise
-    # burns hundreds of Krylov iterations on accuracy that is immediately
-    # discarded.  Final outer tolerances are unchanged.  Set False for
-    # strict reference behavior (fixed 1e-5 every solve).
-    adaptive_linear_tol: bool = True
+    # relative tolerance (10^-(3+it) floored at fgmres_tol).  This paid
+    # ~28% when the preconditioner was weak (round 1: first solves burned
+    # 250 Krylov iterations); with the deep momentum predict a 1e-5 solve
+    # costs ~1.5x a 1e-3 one and tight first solves SAVE outer correctors —
+    # measured at 1M: strict 1.47 vs adaptive 1.21 steps/s.  Default False
+    # = the reference's fixed rtol=1e-5 every solve
+    # (coupled_solver_fgmres.rs:1737-1740); no tolerance deviation.
+    adaptive_linear_tol: bool = False
 
     # Schur pressure relaxation: coupled_solver_fgmres.rs:1812-1817
     precond_omega: float = 1.2
