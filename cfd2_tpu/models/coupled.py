@@ -50,10 +50,14 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         from ..ops.schur import block_jacobi_preconditioner
         precond = lambda r: block_jacobi_preconditioner(sys, r)
     else:
+        # Size-auto deep sweeps are measured on the stencil path; on the
+        # gather path each extra sweep costs two (N, K) gathers, so the
+        # auto stays at the reference's diagonal unless explicitly set.
+        ms = (config.precond_mom_sweeps if config.precond_mom_sweeps > 0
+              else 1)
         precond = lambda r: schur_preconditioner(
             sys, mesh, r, config.precond_omega, n_sweeps,
-            pressure_solve=pressure_solve,
-            mom_sweeps=config.mom_sweeps(mesh.num_cells))
+            pressure_solve=pressure_solve, mom_sweeps=ms)
     x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
     return fgmres_solve(
         matvec, precond, sys.rhs, x0,
