@@ -112,15 +112,13 @@ class SolverConfig:
         return int(min(20 + np.sqrt(num_cells) / 2.0, 200.0))
 
     def mom_sweeps(self, num_cells: int) -> int:
-        # Measured at 1M (DESIGN.md §9b): FGMRES iterations 48/32/23/11 at
-        # 2/3/4/8 sweeps; end-to-end 620k -> 933k -> 1.23M cell-updates/s
-        # for 2/4/8.  Below ~500k the per-iteration cost is launch-bound and
-        # extra sweeps measured wall-flat, so the reference's bare diagonal
-        # stays.
+        # Measured (DESIGN.md §9b): FGMRES iterations at 1M drop 48/32/23/11
+        # for 2/3/4/8 sweeps at near-constant per-iteration cost; end-to-end
+        # with the strict tolerance default, 8 sweeps measured 1.19M
+        # cell-updates/s at 120k (vs 519k bare-diagonal) and 1.47M at 1M;
+        # 12 sweeps win at 2M.
         if self.precond_mom_sweeps > 0:
             return self.precond_mom_sweeps
-        if num_cells < 500_000:
-            return 1
         return 8 if num_cells < 1_500_000 else 12
 
 
