@@ -106,12 +106,15 @@ def main():
     rhsp = st.to_planar(ss, ss.rhs)
     mv = lambda x: st.spmv_planar(ss, x)
 
+    # Production default is the first entry; the rest bracket it.  Past
+    # results at 1M (DESIGN.md §9b): m2 48 iters, m3 32, m4 23, m8 11,
+    # m12 7; RB-GS momentum and hierarchy truncation measured worse.
     variants = [
         ("v1m8", make_ps(1, 1), 8, False),
+        ("v1m4", make_ps(1, 1), 4, False),
         ("v1m12", make_ps(1, 1), 12, False),
-        ("rb3", make_ps(1, 1), 3, True),     # 4 stencil passes ~ m5 cost
-        ("rb5", make_ps(1, 1), 5, True),     # 8 passes ~ m9 cost
-        ("rb7", make_ps(1, 1), 7, True),
+        ("v2m8", make_ps(2, 1), 8, False),
+        ("cheb", None, 1, False),
     ]
     for tag, ps, ms, rb in variants:
         pc = (lambda ps, ms, rb: lambda r: st.schur_precond_planar(
