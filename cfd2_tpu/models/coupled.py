@@ -41,7 +41,7 @@ from .assembly import assemble_coupled, prepare
 
 
 def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
-                  tol=None):
+                  tol=None, x_guess=None):
     """One coupled linear solve: FGMRES + Schur (or block-Jacobi)
     preconditioner.  ``tol`` (possibly traced) overrides the relative
     tolerance (inexact-Newton forcing)."""
@@ -58,7 +58,8 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         precond = lambda r: schur_preconditioner(
             sys, mesh, r, config.precond_omega, n_sweeps,
             pressure_solve=pressure_solve, mom_sweeps=ms)
-    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+    x0 = (x_guess if x_guess is not None else
+          jnp.concatenate([state.u, state.p[:, None]], axis=1))
     return fgmres_solve(
         matvec, precond, sys.rhs, x0,
         restart=config.fgmres_restart,
@@ -81,9 +82,12 @@ def _use_stencil_path(mesh, config, amg) -> bool:
     return True
 
 
-def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
+def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
+                        x_guess=None):
     """Assemble the coupled system (stencil form on structured meshes,
-    block-ELL otherwise) and run one preconditioned FGMRES solve."""
+    block-ELL otherwise) and run one preconditioned FGMRES solve.
+    ``x_guess``: optional (N, 3) Krylov initial guess (defaults to the
+    current fields)."""
     if _use_stencil_path(mesh, config, amg):
         from ..ops import stencil_system as st
         from .assembly import assemble_stencil
@@ -98,7 +102,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
         precond = lambda r: st.schur_precond_planar(
             ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
             mom_sweeps=config.mom_sweeps(mesh.num_cells))
-        x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+        x0 = (x_guess if x_guess is not None else
+              jnp.concatenate([state.u, state.p[:, None]], axis=1))
         result = fgmres_solve(
             matvec, precond, st.to_planar(ss, ss.rhs),
             st.to_planar(ss, x0),
@@ -118,7 +123,7 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol):
     else:
         pressure_solve = None
     return _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,
-                         tol=tol)
+                         tol=tol, x_guess=x_guess)
 
 
 def _anderson_mix(g, x, Gh, Fh, it, config: SolverConfig):
@@ -245,8 +250,16 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                                   10.0 ** (-(3.0 + it.astype(jnp.float32))))
         else:
             lin_tol = None
+        x_guess = None
+        if config.extrapolate_guess:
+            # First outer only: temporal predictor (u_old == u here; the
+            # last step's increment is u - u_old_old).
+            beta = jnp.where(it == 0, params.dt /
+                             jnp.maximum(params.dt_old, 1e-30), 0.0)
+            u_g = state.u + beta * (state.u - state.u_old_old)
+            x_guess = jnp.concatenate([u_g, state.p[:, None]], axis=1)
         result = _assemble_and_solve(mesh, state, params, config, amg,
-                                     n_sweeps, lin_tol)
+                                     n_sweeps, lin_tol, x_guess=x_guess)
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         alpha_u = params.alpha_u
@@ -324,8 +337,14 @@ def outer_iteration(mesh: DeviceMesh, state: SolverState,
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
     if do_prepare:
         state = prepare(mesh, state, params, config)
+    x_guess = None
+    if config.extrapolate_guess:
+        beta = jnp.where(jnp.asarray(it) == 0,
+                         params.dt / jnp.maximum(params.dt_old, 1e-30), 0.0)
+        u_g = state.u + beta * (state.u - state.u_old_old)
+        x_guess = jnp.concatenate([u_g, state.p[:, None]], axis=1)
     result = _assemble_and_solve(mesh, state, params, config, amg,
-                                 n_sweeps, lin_tol)
+                                 n_sweeps, lin_tol, x_guess=x_guess)
     alpha_u = params.alpha_u
     if config.alpha_u_final > 0:
         alpha_u = jnp.where(jnp.asarray(it) >= config.alpha_ramp_after,

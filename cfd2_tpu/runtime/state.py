@@ -47,6 +47,13 @@ class SolverConfig:
     outer_tol_u: float = 1e-5
     outer_tol_p: float = 1e-4
     outer_stagnation_factor: float = 1e-2
+    # Temporal extrapolation of the first outer's Krylov initial guess:
+    # x0_u = u + (dt/dt_old)(u - u_old_old).  Measured NET NEGATIVE at 1M
+    # (1.25M vs 1.48M cell-updates/s): the extrapolated start perturbs the
+    # Picard iterate the outer max-diff test measures against, costing more
+    # outer correctors than the Krylov iterations it saves.  Kept as an
+    # option; off by default.
+    extrapolate_guess: bool = False
     # Outer relaxation ramp: the under-relaxed corrector contracts its error
     # by exactly (1 - alpha_u) per outer once the solve is tight, so fixed
     # alpha_u = 0.7 costs ~3x the outers of alpha 1.0 in the linearized
