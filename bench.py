@@ -4,7 +4,20 @@ Mirrors the reference's criterion benches (benches/gpu_dispatch_benchmark.rs:
 59-130, Throughput::Elements(num_cells) => cell-updates/sec) on the
 BASELINE.json north-star configuration (channel with circular obstacle).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+The headline measures the BASELINE.json config verbatim: a *developed*
+vortex-shedding state at ~1M cells (loaded from ``bench_developed_1m.npz``,
+produced by tools/make_developed.py: Re=80 grid-cascade warmup, wake-probe
+oscillation checked), timed at the reference's strict tolerances.  Three
+lines are measured and embedded in the JSON:
+
+* ``from_rest``  — 5 steps from an impulsive start (round-1/2 continuity);
+* ``developed``  — 5 steps on the developed state (THE headline; 3 untimed
+  heal steps first to wash out the checkpoint's f16 rounding);
+* ``reference_outer`` — the developed state re-timed with the outer-loop
+  acceleration disabled (alpha_u_final=0, outer_pressure_patience=0): the
+  A/B defending those deviations (VERDICT r2 next #4).
 
 The reference publishes no numbers (BASELINE.md); ``vs_baseline`` is computed
 against ESTIMATED_WGPU_BASELINE, an estimate of the reference's throughput
@@ -27,6 +40,34 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
+DEVELOPED_STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_developed_1m.npz")
+
+
+def _time_steps(s, steps, mode):
+    import jax
+
+    outer_iters = []
+    linear_iters = []
+    t0 = time.time()
+    for _ in range(steps):
+        s.step(mode=mode)
+        jax.block_until_ready(s.state.u)
+        outer_iters.append(int(s.state.outer_iters))
+        linear_iters.append(int(s.state.linear_iters))
+    elapsed = time.time() - t0
+    assert np.isfinite(s.get_u()).all(), "bench produced non-finite fields"
+    return elapsed, outer_iters, linear_iters
+
+
+def _measure(s, steps, mode, n, label):
+    elapsed, outers, lins = _time_steps(s, steps, mode)
+    sps = steps / elapsed
+    print(f"# {label}: {steps} steps in {elapsed:.2f}s -> {sps:.2f} steps/s, "
+          f"outer_iters={outers} last_linear_iters={lins}", file=sys.stderr)
+    return {"cell_updates_per_sec": round(n * sps, 1),
+            "steps_per_sec": round(sps, 3),
+            "outer_iters": outers, "last_linear_iters": lins}
 
 
 def run_bench(min_cell=None):
@@ -60,11 +101,14 @@ def run_bench(min_cell=None):
     # cap only trims the cold-start worst case (the device tunnel kills
     # executions that run for minutes).
     from dataclasses import replace as _rep
+    bf16 = os.environ.get("BENCH_BF16", "")   # "basis,pc" to enable
     s.config = _rep(s.config,
                     fgmres_max_restarts=int(os.environ.get(
                         "BENCH_MAX_RESTARTS", "5")),
                     precond_mom_sweeps=int(os.environ.get(
                         "BENCH_MOM_SWEEPS", "0")),   # 0 = size-auto
+                    fgmres_basis_bf16="basis" in bf16,
+                    precond_bf16="pc" in bf16,
                     adaptive_linear_tol=os.environ.get(
                         "BENCH_ADAPTIVE", "0") == "1")
     u0 = np.zeros((n, 2))
@@ -72,47 +116,86 @@ def run_bench(min_cell=None):
     s.set_u(u0)
 
     import jax
-    # The fused zero-round-trip step is the flagship path and now compiles
-    # at 1M (368 s through the remote compiler; 674k cell-updates/s vs 620k
-    # host-mode).  The ladder retries the same size in host mode (one device
-    # execution per outer corrector — shorter programs) if fused times out.
+    # The fused zero-round-trip step is the flagship path (DESIGN.md §4/§9).
+    # The ladder retries the same size in host mode (one device execution per
+    # outer corrector — shorter programs) if fused times out.
     mode = os.environ.get("BENCH_MODE", "fused")
     print(f"# step mode: {mode}", file=sys.stderr)
     t0 = time.time()
     s.step(mode=mode)
     jax.block_until_ready(s.state.u)
-    print(f"# compile+first step: {time.time() - t0:.1f}s", file=sys.stderr)
+    t_compile = time.time() - t0
+    print(f"# compile+first step: {t_compile:.1f}s", file=sys.stderr)
     s.step(mode=mode)
     jax.block_until_ready(s.state.u)
 
-    # Step one at a time (keeps each device execution short).
-    outer_iters = []
-    t0 = time.time()
-    for _ in range(steps):
-        s.step(mode=mode)
-        jax.block_until_ready(s.state.u)
-        outer_iters.append(int(s.state.outer_iters))
-    elapsed = time.time() - t0
-    assert np.isfinite(s.get_u()).all(), "bench produced non-finite fields"
+    from_rest = _measure(s, steps, mode, n, "from_rest")
 
-    steps_per_sec = steps / elapsed
-    cell_updates = n * steps_per_sec
-    print(f"# {steps} steps in {elapsed:.2f}s -> {steps_per_sec:.2f} steps/s, "
-          f"outer_iters={outer_iters}", file=sys.stderr)
+    # ------------------------------------------------------------------
+    # Developed vortex-shedding state (the BASELINE.json config verbatim).
+    developed = reference_outer = None
+    dev_meta = None
+    if os.path.exists(DEVELOPED_STATE) and s.mesh.grid_shape is not None \
+            and os.environ.get("BENCH_SKIP_DEVELOPED") != "1":
+        d = np.load(DEVELOPED_STATE)
+        meta = json.loads(str(d["meta"]))
+        if tuple(meta["grid"]) == tuple(s.mesh.grid_shape):
+            from dataclasses import replace as _rp
+            import jax.numpy as jnp
+            ny, nx = s.mesh.grid_shape
+            u = jnp.asarray(d["u"].astype(np.float32).reshape(ny * nx, 2))
+            p = jnp.asarray(d["p"].astype(np.float32).reshape(ny * nx))
+            valid = s.mesh.c_valid
+            u = u * valid[:, None]
+            p = p * valid
+            s.state = _rp(s.state, u=u, u_old=u, u_old_old=u, prev_u=u, p=p)
+            s.set_viscosity(meta["viscosity"])
+            dev_meta = {"time": meta["time"],
+                        "probe_v_amplitude": meta["probe_v_amplitude"],
+                        "viscosity": meta["viscosity"]}
+            print(f"# developed state: t={meta['time']:.1f}s Re="
+                  f"{0.4 / meta['viscosity']:.0f} probe_v_amp="
+                  f"{meta['probe_v_amplitude']:.3f}", file=sys.stderr)
+            for _ in range(3):   # heal f16 checkpoint rounding (untimed)
+                s.step(mode=mode)
+            jax.block_until_ready(s.state.u)
+            developed = _measure(s, steps, mode, n, "developed")
 
-    # The headline runs the reference's exact tolerances (fixed fgmres
-    # rtol=1e-5 every solve, coupled_solver_fgmres.rs:1737-1740) — the
-    # round-1 inexact-Newton ladder is now strictly slower (DESIGN.md §9)
-    # and is available only via BENCH_ADAPTIVE=1.  No A/B needed: there is
-    # no tolerance deviation to defend.
+            if os.environ.get("BENCH_SKIP_AB") != "1":
+                # A/B: reference outer-loop policy (no alpha ramp, no
+                # plateau patience) on the same developed state.
+                s.config = _rep(s.config, alpha_u_final=0.0,
+                                outer_pressure_patience=0)
+                t0 = time.time()
+                s.step(mode=mode)   # recompile (config is static)
+                jax.block_until_ready(s.state.u)
+                print(f"# A/B recompile: {time.time() - t0:.1f}s",
+                      file=sys.stderr)
+                reference_outer = _measure(s, steps, mode, n,
+                                           "reference_outer")
+        else:
+            print(f"# developed checkpoint grid {meta['grid']} != mesh grid "
+                  f"{s.mesh.grid_shape}; skipping", file=sys.stderr)
+
+    head = developed if developed is not None else from_rest
+    state_name = "developed" if developed is not None else "from_rest"
     out = {
-        "metric": f"cell-updates/sec, channel-obstacle {n} cells, coupled step",
-        "value": round(cell_updates, 1),
+        "metric": (f"cell-updates/sec, channel-obstacle {n} cells, "
+                   f"coupled step, {state_name} state"),
+        "value": head["cell_updates_per_sec"],
         "unit": "cell-updates/sec",
-        "vs_baseline": round(cell_updates / ESTIMATED_WGPU_BASELINE, 3),
-        "steps_per_sec": round(steps_per_sec, 3),
+        "vs_baseline": round(head["cell_updates_per_sec"]
+                             / ESTIMATED_WGPU_BASELINE, 3),
+        "steps_per_sec": head["steps_per_sec"],
         "cells": n,
+        "state": state_name,
+        "compile_first_step_s": round(t_compile, 1),
+        "from_rest": from_rest,
     }
+    if developed is not None:
+        out["developed"] = {**developed, **(dev_meta or {})}
+    if reference_outer is not None:
+        out["reference_outer"] = reference_outer
     print(json.dumps(out))
 
 

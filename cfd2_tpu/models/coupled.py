@@ -67,7 +67,8 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         tol=config.fgmres_tol if tol is None else tol,
         abstol=config.fgmres_abstol,
         stagnation_tol=config.fgmres_stagnation_tol,
-        stagnation_limit=config.fgmres_stagnation_limit)
+        stagnation_limit=config.fgmres_stagnation_limit,
+        basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None)
 
 
 def _use_stencil_path(mesh, config, amg) -> bool:
@@ -99,9 +100,24 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
         matvec = lambda x: st.spmv_planar(ss, x)
         ps = (st.make_pressure_solve2(amg, ss)
               if config.precond_type == PRECOND_AMG else None)
-        precond = lambda r: st.schur_precond_planar(
-            ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
-            mom_sweeps=config.mom_sweeps(mesh.num_cells))
+        if config.precond_bf16:
+            # Apply M^{-1} in bf16 (coefficients cast once per assembly);
+            # the pressure V-cycle stays f32.  See SolverConfig.precond_bf16.
+            ss_pc = st.cast_coeffs(ss, jnp.bfloat16)
+            ps_f32 = ps if ps is not None else (
+                lambda rhs2: st.chebyshev_pressure_solve2(
+                    ss, rhs2, config.precond_omega, n_sweeps))
+            ps_pc = lambda rhs: ps_f32(
+                rhs.astype(jnp.float32)).astype(jnp.bfloat16)
+            precond = lambda r: st.schur_precond_planar(
+                ss_pc, r.astype(jnp.bfloat16), config.precond_omega,
+                n_sweeps, pressure_solve=ps_pc,
+                mom_sweeps=config.mom_sweeps(mesh.num_cells)
+            ).astype(jnp.float32)
+        else:
+            precond = lambda r: st.schur_precond_planar(
+                ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
+                mom_sweeps=config.mom_sweeps(mesh.num_cells))
         x0 = (x_guess if x_guess is not None else
               jnp.concatenate([state.u, state.p[:, None]], axis=1))
         result = fgmres_solve(
@@ -112,7 +128,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             tol=config.fgmres_tol if tol is None else tol,
             abstol=config.fgmres_abstol,
             stagnation_tol=config.fgmres_stagnation_tol,
-            stagnation_limit=config.fgmres_stagnation_limit)
+            stagnation_limit=config.fgmres_stagnation_limit,
+            basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None)
         return replace(result, x=st.from_planar(ss, result.x))
 
     sys = assemble_coupled(mesh, state, params, config)
@@ -161,6 +178,32 @@ def _anderson_mix(g, x, Gh, Fh, it, config: SolverConfig):
         (jnp.sqrt(jnp.sum(gamma * gamma)) <= config.anderson_gamma_max)
     x_next = jnp.where(ok, g - gamma @ dG, g)
     return x_next, Gh, Fh
+
+
+def _plateau_update(du_ok, dp_ref, diff_u, diff_p, config: SolverConfig):
+    """Pressure-plateau patience bookkeeping (SolverConfig.outer_pressure_patience).
+
+    Counts consecutive outers with du below 2x tol (on the plateau du bounces
+    around tol_u from solve noise, so strict sub-tol hits would keep the
+    reference's burn-to-cap behavior).  The exit is additionally gated on the
+    pressure residual actually stalling: dp must not have halved across the
+    patience window (``dp_ref`` = dp at window start), so a velocity-converged
+    flow whose pressure is still steadily decreasing keeps iterating —
+    matching the reference's both-tolerances contract
+    (coupled_solver.rs:445-476) instead of exiting early on it.  A window that
+    expires while pressure is still improving restarts, so a fresh plateau can
+    be detected at the new dp level.
+
+    Returns (du_ok, dp_ref, plateau).  Works on jnp scalars (fused path);
+    step_host mirrors the same logic on Python floats.
+    """
+    dp_ref = jnp.where(du_ok == 0, diff_p, dp_ref)
+    du_ok = jnp.where(diff_u < 2.0 * config.outer_tol_u, du_ok + 1, 0)
+    window_full = du_ok >= config.outer_pressure_patience
+    p_stalled = diff_p > 0.5 * dp_ref
+    plateau = (config.outer_pressure_patience > 0) & window_full & p_stalled
+    du_ok = jnp.where(window_full & ~p_stalled, 0, du_ok)
+    return du_ok, dp_ref, plateau
 
 
 def check_evolution(state: SolverState, config: SolverConfig,
@@ -230,11 +273,11 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     aa_hist0 = jnp.zeros((aa_depth + 1, D), jnp.float32) if aa_depth else None
 
     def cond(carry):
-        state, aa, prev_du, prev_dp, it, done, du_ok, li, lr = carry
+        state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr = carry
         return (it < max_iters) & ~done
 
     def body(carry):
-        state, aa, prev_du, prev_dp, it, done, du_ok, li, lr = carry
+        state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr = carry
 
         # Re-prepare on later iterations / higher-order schemes
         # (coupled_solver.rs:166-189).
@@ -290,21 +333,17 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         rel_p = jnp.abs((diff_p - prev_dp) / jnp.maximum(jnp.abs(prev_dp), 1e-14))
         stagnated = (rel_u < config.outer_stagnation_factor) & \
                     (rel_p < config.outer_stagnation_factor) & (it > 2)
-        # Pressure-plateau patience (see SolverConfig.outer_pressure_patience).
-        # 2x margin: on the plateau du bounces around tol_u (solve noise), and
-        # requiring strict sub-tol hits would keep the burn-to-cap behavior.
-        du_ok = jnp.where(diff_u < 2.0 * config.outer_tol_u, du_ok + 1, 0)
-        plateau = (config.outer_pressure_patience > 0) & \
-            (du_ok >= config.outer_pressure_patience)
+        du_ok, dp_ref, plateau = _plateau_update(du_ok, dp_ref, diff_u,
+                                                 diff_p, config)
         done = (converged & (it > 0)) | stagnated | plateau
 
-        return (state, aa, diff_u, diff_p, it + 1, done, du_ok,
+        return (state, aa, diff_u, diff_p, it + 1, done, du_ok, dp_ref,
                 result.iterations, result.residual)
 
     init = (state, (aa_hist0, aa_hist0) if aa_depth else (), big, big,
-            jnp.int32(0), jnp.asarray(False), jnp.int32(0),
+            jnp.int32(0), jnp.asarray(False), jnp.int32(0), big,
             jnp.int32(0), jnp.asarray(0.0, jnp.float32))
-    state, _, _, _, it, _, _, li, lr = lax.while_loop(cond, body, init)
+    state, _, _, _, it, _, _, _, li, lr = lax.while_loop(cond, body, init)
     state = replace(state, time=state.time + params.dt,
                     linear_iters=li, linear_residual=lr)
 
@@ -386,6 +425,7 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     max_iters = max(config.n_outer_correctors, 10)
     prev_du = prev_dp = float("inf")
     du_ok = 0
+    dp_ref = float("inf")
     aa = None
     if config.anderson_depth:
         z = jnp.zeros((config.anderson_depth + 1, mesh.num_cells * 3),
@@ -418,10 +458,15 @@ def step_host(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         if it > 2 and rel_u < config.outer_stagnation_factor \
                 and rel_p < config.outer_stagnation_factor:
             break
+        # Mirror of the fused path's pressure-stall gate (see step()).
+        if du_ok == 0:
+            dp_ref = dp
         du_ok = du_ok + 1 if du < 2.0 * config.outer_tol_u else 0
         if config.outer_pressure_patience > 0 \
                 and du_ok >= config.outer_pressure_patience:
-            break
+            if dp > 0.5 * dp_ref:
+                break
+            du_ok = 0
         prev_du, prev_dp = du, dp
     return finish_step(mesh, state, params, config)
 

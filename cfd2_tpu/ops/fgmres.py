@@ -24,7 +24,6 @@ relative improvement (coupled_solver_fgmres.rs:1737-1740, 2403-2419).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass
 from typing import Callable
 
@@ -59,6 +58,7 @@ def fgmres_solve(
     stagnation_limit: int = 3,
     cgs_chunk_rows: int = 8,
     flatten: bool | None = None,
+    basis_dtype=None,
 ) -> FgmresResult:
     """Solve A x = b; vectors have shape (N, 3) (or any fixed shape).
 
@@ -70,13 +70,23 @@ def fgmres_solve(
     tiles, so every iteration pays physical relayouts at the pc/mv
     boundaries.  Default (None): flatten unless the trailing axis is
     lane-sized (>= 128).
+
+    ``basis_dtype``: storage dtype for the Krylov basis V (default: b.dtype).
+    ``jnp.bfloat16`` halves the dominant HBM traffic of the solve — the CGS
+    pass streams the basis twice per iteration (~50% of all bytes at 1M
+    cells, DESIGN.md §9b).  All arithmetic stays f32: the bf16 rows are
+    promoted at the multiply, dots and norms accumulate in f32, and the
+    preconditioned basis Z (which forms the solution update) stays full
+    precision.  The basis rows are merely rounded to ~3 decimal digits of
+    orthogonality; the per-cycle *true-residual* recomputation and restart
+    logic absorb that, so convergence is protected by construction (flexible
+    GMRES already tolerates inexact preconditioning of exactly this kind).
     """
     m = restart
     shape = b.shape
     dtype = b.dtype
     if flatten is None:
-        env = os.environ.get("CFD2_FGMRES_FLATTEN")   # A/B override
-        flatten = bool(int(env)) if env else shape[-1] < 128
+        flatten = shape[-1] < 128
 
     if flatten:
         # Work on flattened vectors internally; user callables see `shape`.
@@ -104,13 +114,16 @@ def fgmres_solve(
             return d @ Vc
         return jnp.sum(d.reshape(d.shape + (1,) * len(vshape)) * Vc, axis=0)
 
+    if basis_dtype is None:
+        basis_dtype = dtype
+
     rhs_norm = _norm(bf)
     target = jnp.maximum(tol * rhs_norm, abstol)
 
     r0 = bf - mv(x0)
     beta0 = _norm(r0)
 
-    V0 = jnp.zeros((m + 1,) + vshape, dtype)
+    V0 = jnp.zeros((m + 1,) + vshape, basis_dtype)
     Z0 = jnp.zeros((m,) + vshape, dtype)
     H0 = jnp.zeros((m + 1, m), dtype)
 
@@ -127,7 +140,7 @@ def fgmres_solve(
 
         def body(carry):
             V, Z, H, cs, sn, g, j, conv = carry
-            v_j = V[j]
+            v_j = V[j].astype(dtype)
             z = pc(v_j)
             w = mv(z)
             Z = lax.dynamic_update_index_in_dim(Z, z, j, 0)
@@ -169,7 +182,8 @@ def fgmres_solve(
 
             hnorm = _norm(w)
             v_next = jnp.where(hnorm > 0.0, 1.0 / jnp.maximum(hnorm, 1e-30), 0.0) * w
-            V = lax.dynamic_update_index_in_dim(V, v_next, j + 1, 0)
+            V = lax.dynamic_update_index_in_dim(
+                V, v_next.astype(basis_dtype), j + 1, 0)
 
             # Hessenberg column with subdiagonal entry.
             h = dots.at[j + 1].set(hnorm)
@@ -240,7 +254,7 @@ def fgmres_solve(
         r = bf - mv(x)
         rn = _norm(r)
         v0 = jnp.where(rn > 0.0, 1.0 / jnp.maximum(rn, 1e-30), 0.0) * r
-        V = V.at[0].set(v0)
+        V = V.at[0].set(v0.astype(basis_dtype))
 
         x, V, Z, H, j, cyc_conv = inner_cycle(x, V, Z, H, rn)
         total = total + j

@@ -92,6 +92,19 @@ jax.tree_util.register_dataclass(
 )
 
 
+def cast_coeffs(ss: StencilSystem, dtype) -> StencilSystem:
+    """Copy of ``ss`` with every coefficient plane cast to ``dtype`` (``rhs``
+    and the static grid kept).  Used to apply the Schur preconditioner in
+    bf16: the matvec keeps the f32 system, the preconditioner reads half the
+    bytes (see SolverConfig.precond_bf16)."""
+    import dataclasses
+    kw = {}
+    for f in dataclasses.fields(StencilSystem):
+        v = getattr(ss, f.name)
+        kw[f.name] = v if f.name in ("grid", "rhs") else v.astype(dtype)
+    return StencilSystem(**kw)
+
+
 def _split3(x: jnp.ndarray, grid):
     ny, nx = grid
     return (x[:, 0].reshape(ny, nx), x[:, 1].reshape(ny, nx),

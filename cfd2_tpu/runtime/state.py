@@ -87,6 +87,24 @@ class SolverConfig:
     fgmres_abstol: float = 1e-7
     fgmres_stagnation_tol: float = 1e-3
     fgmres_stagnation_limit: int = 3
+    # Krylov basis storage dtype: bf16 basis rows with f32 arithmetic halve
+    # the CGS streaming traffic — the dominant per-iteration byte count at
+    # >=1M cells (DESIGN.md §9b).  Convergence is protected by the per-cycle
+    # true-residual recomputation; tests/test_fgmres.py pins solution parity
+    # vs the f32 basis.  Default False: on TPU at 1M cells the measured
+    # end-to-end effect was neutral (1.42 vs 1.48M cell-updates/s) while
+    # compile time dropped 132 -> 47 s; on the CPU backend bf16 is emulated
+    # ~30x slower.  bench.py opts in per measurement.
+    fgmres_basis_bf16: bool = False
+    # Run the Schur preconditioner's momentum sweeps / Schur RHS / velocity
+    # correct in bf16 (coefficients cast once per assembly, result cast back
+    # to f32).  M^{-1} is an approximation by construction and FGMRES is
+    # *flexible* — arbitrary preconditioner variation is absorbed by storing
+    # Z — so low-precision application costs at most a few Krylov iterations
+    # while halving the preconditioner's HBM traffic.  The pressure V-cycle
+    # stays f32 (the near-null constant mode already strains f32
+    # conditioning, DESIGN.md §10).  Default False (see fgmres_basis_bf16).
+    precond_bf16: bool = False
     # Inexact-Newton forcing: early outer iterations solve to a looser
     # relative tolerance (10^-(3+it) floored at fgmres_tol).  This paid
     # ~28% when the preconditioner was weak (round 1: first solves burned

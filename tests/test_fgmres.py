@@ -101,3 +101,31 @@ def test_no_flatten_path_matches_flat():
         xi = x.reshape(3, -1).T.reshape(-1)
         rel = np.linalg.norm(A @ xi - b.reshape(-1)) / np.linalg.norm(b)
         assert rel < 1e-4
+
+
+def test_bf16_basis_solution_parity():
+    """bf16 Krylov basis storage must converge to the same solution as the
+    f32 basis (VERDICT r2 #1a): the basis rows are storage-rounded but all
+    arithmetic and the true-residual restart check stay f32."""
+    rng = np.random.default_rng(7)
+    N = 60
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.2
+    A += np.eye(3 * N, dtype=np.float32) * 4.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    Aj = jnp.asarray(A)
+    matvec = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    precond = lambda r: r * 0.25
+    kw = dict(restart=20, max_restarts=20, tol=1e-6, abstol=1e-10)
+    r32 = fgmres_solve(matvec, precond, jnp.asarray(b),
+                       jnp.zeros((N, 3), jnp.float32), **kw)
+    r16 = fgmres_solve(matvec, precond, jnp.asarray(b),
+                       jnp.zeros((N, 3), jnp.float32),
+                       basis_dtype=jnp.bfloat16, **kw)
+    assert bool(r16.converged)
+    x32 = np.asarray(r32.x).reshape(-1)
+    x16 = np.asarray(r16.x).reshape(-1)
+    # Both converged to rtol 1e-6 on a well-conditioned system: solutions
+    # agree far tighter than bf16 resolution would suggest.
+    assert np.linalg.norm(x16 - x32) / np.linalg.norm(x32) < 1e-4
+    rel = np.linalg.norm(A @ x16 - b.reshape(-1)) / np.linalg.norm(b)
+    assert rel < 1e-5

@@ -121,3 +121,44 @@ def test_pressure_plateau_patience():
     assert np.abs(u_pat - u_cap).max() < 5e-4
     p_scale = max(np.abs(p_cap).max(), 1.0)
     assert np.abs(p_pat - p_cap).max() / p_scale < 5e-3
+
+
+class TestPlateauGate:
+    """ADVICE r2: the plateau exit must not fire while pressure is still
+    steadily decreasing (reference exits only on both-below-tol or joint
+    stagnation, coupled_solver.rs:445-476)."""
+
+    def _drive(self, du_seq, dp_seq, patience=3):
+        import jax.numpy as jnp
+        from cfd2_tpu.models.coupled import _plateau_update
+        from cfd2_tpu.runtime.state import SolverConfig
+
+        cfg = SolverConfig(outer_pressure_patience=patience)
+        du_ok = jnp.int32(0)
+        dp_ref = jnp.float32(jnp.finfo(jnp.float32).max)
+        fired_at = None
+        for i, (du, dp) in enumerate(zip(du_seq, dp_seq)):
+            du_ok, dp_ref, plateau = _plateau_update(
+                du_ok, dp_ref, jnp.float32(du), jnp.float32(dp), cfg)
+            if bool(plateau) and fired_at is None:
+                fired_at = i
+        return fired_at
+
+    def test_fires_on_noise_plateau(self):
+        # du parked below 2x tol, dp bouncing around a constant level.
+        du = [1.5e-5] * 8
+        dp = [4e-4, 5e-4, 3e-4, 4.5e-4, 3.5e-4, 4e-4, 5e-4, 4e-4]
+        assert self._drive(du, dp) == 2   # patience=3 hits at the 3rd outer
+
+    def test_holds_while_pressure_decreases(self):
+        # du converged early but dp is halving every two outers: the gate
+        # must keep iterating (window restarts, never fires).
+        du = [1.5e-5] * 10
+        dp = [1e-2 * 0.7 ** i for i in range(10)]
+        assert self._drive(du, dp) is None
+
+    def test_fires_after_decrease_stalls(self):
+        du = [1.5e-5] * 12
+        dp = [1e-2 * 0.5 ** min(i, 5) for i in range(12)]
+        fired = self._drive(du, dp)
+        assert fired is not None and fired >= 5
