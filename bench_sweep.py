@@ -16,16 +16,22 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 
 def bench_one(min_cell: float, precond: int, steps: int = 6,
-              max_cell: float = 0.0):
+              max_cell: float = 0.0, mesh_type: str = "cutcell"):
     import jax
-    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.mesh import (ChannelWithObstacle, generate_cut_cell_mesh,
+                               generate_delaunay_mesh, generate_voronoi_mesh)
     from cfd2_tpu.models.coupled import CoupledSolver
 
     geo = ChannelWithObstacle(length=3.0, height=1.0,
                               obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
-    mesh = generate_cut_cell_mesh(geo, min_cell, max(max_cell, min_cell),
-                                  1.2, (3.0, 1.0))
+    gen = {"cutcell": generate_cut_cell_mesh,
+           "delaunay": generate_delaunay_mesh,
+           "voronoi": generate_voronoi_mesh}[mesh_type]
+    t0 = time.time()
+    mesh = gen(geo, min_cell, max(max_cell, min_cell), 1.2, (3.0, 1.0))
     n = mesh.num_cells
+    print(f"# {mesh_type} {min_cell}: {n} cells ({time.time()-t0:.0f}s)",
+          flush=True)
     s = CoupledSolver(mesh)
     s.set_dt(min(0.002, 0.4 * min_cell))
     s.set_precond_type(precond)
@@ -45,9 +51,12 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
     dt = (time.time() - t0) / steps
     assert np.isfinite(s.get_u()).all()
     layout = ("structured" if s.mesh.structured
-              else "multilevel" if s.mesh.multilevel else "generic")
+              else "multilevel" if s.mesh.multilevel
+              else f"banded(S={s.mesh.bd_S})" if s.mesh.bd_S is not None
+              else "generic")
     print(json.dumps({
         "mesh": min_cell if not max_cell else f"{min_cell}/{max_cell}",
+        "mesh_type": mesh_type,
         "cells": n, "layout": layout,
         "precond": ["jacobi", "amg", "block-jacobi"][precond],
         "step_seconds": round(dt, 4),
@@ -65,6 +74,10 @@ def main():
     bench_one(cmp_size, precond=0)
     # Locally-refined quadtree mesh (multilevel fast path).
     bench_one(0.01, precond=1, max_cell=0.04)
+    # Unstructured meshes on the banded-gather path (VERDICT r2 #3).
+    for mt in ("delaunay", "voronoi"):
+        bench_one(float(os.environ.get("SWEEP_UNSTRUCTURED", "0.005")),
+                  precond=1, mesh_type=mt)
 
 
 if __name__ == "__main__":

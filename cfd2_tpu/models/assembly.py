@@ -152,7 +152,14 @@ def compute_slot_fluxes(mesh: DeviceMesh, state: SolverState,
             # Extra slots may hold internal (hanging) faces here.
             cols.append(jnp.where(is_b[:, k], fl_bdry[:, k], fl_int[:, k])
                         * mask[:, k])
-        return jnp.stack(cols, axis=1)
+        flux = jnp.stack(cols, axis=1)
+        # Hanging / non-mirrored internal faces: side a's value is scattered
+        # negated to side b, making per-face antisymmetry *exact* (matching
+        # the reference's one-value-per-face storage; advisor r2).
+        if mesh.ml_pair_cell_a is not None:
+            vals = flux[mesh.ml_pair_cell_a, mesh.ml_pair_slot_a]
+            flux = flux.at[mesh.ml_pair_cell_b, mesh.ml_pair_slot_b].set(-vals)
+        return flux
     fW = jnp.where(is_b[:, SLOT_W], fl_bdry[:, SLOT_W],
                    -mesh.shift_from_west(fE)) * mask[:, SLOT_W]
     fS = jnp.where(is_b[:, SLOT_S], fl_bdry[:, SLOT_S],

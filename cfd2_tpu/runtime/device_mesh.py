@@ -54,6 +54,10 @@ class DeviceMesh:
     # Multilevel (locally-refined quadtree) fast path: per-level (ny, nx)
     # grids, finest first; device cells are the levels' grids concatenated.
     ml_levels: tuple | None
+    # Banded generic fast path (ops/banded_gather.py): RCM window radius in
+    # 128-cell blocks; None when the mesh is structured/multilevel or the
+    # band is too wide.
+    bd_S: int | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -105,6 +109,20 @@ class DeviceMesh:
     # partner's E/N slot value by shift (exact antisymmetry).
     ck_mirror: jnp.ndarray | None = None
 
+    # Banded generic fast path index planes (NB, K, 128) int32.
+    bd_lane: jnp.ndarray | None = None
+    bd_sel: jnp.ndarray | None = None
+
+    # Multilevel: (cell, slot) entry pairs of internal faces NOT resolved by
+    # the W/S mirror shift (cross-level/hanging + extra-slot faces).  The
+    # flux kernel computes side a once and scatters -value to side b, so
+    # per-face mass-flux antisymmetry is exact on refined meshes too
+    # (advisor r2: per-side re-evaluation only matched to f32 rounding).
+    ml_pair_cell_a: jnp.ndarray | None = None
+    ml_pair_slot_a: jnp.ndarray | None = None
+    ml_pair_cell_b: jnp.ndarray | None = None
+    ml_pair_slot_b: jnp.ndarray | None = None
+
     _dyn_fields = (
         "f_owner", "f_neighbor", "f_neighbor_safe", "f_internal", "f_boundary",
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
@@ -113,12 +131,16 @@ class DeviceMesh:
         "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_dist_proj",
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
         "ml_exc_cell", "ml_exc_slot", "ml_exc_src", "ck_mirror",
+        "bd_lane", "bd_sel",
+        "ml_pair_cell_a", "ml_pair_slot_a", "ml_pair_cell_b",
+        "ml_pair_slot_b",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
-               self.num_host_cells, self.grid_shape, self.ml_levels)
+               self.num_host_cells, self.grid_shape, self.ml_levels,
+               self.bd_S)
         return children, aux
 
     @classmethod
@@ -181,6 +203,9 @@ class DeviceMesh:
             # Cross-level/hanging entries: tiny gather then scatter-override.
             vals = x[self.ml_exc_src]
             return base.at[self.ml_exc_cell, self.ml_exc_slot].set(vals)
+        if self.bd_S is not None:
+            from ..ops.banded_gather import banded_gather_nk
+            return banded_gather_nk(x, self.bd_lane, self.bd_sel, self.bd_S)
         return x[self.ck_neighbor]
 
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
@@ -234,14 +259,26 @@ class DeviceMesh:
 
 def _detect_uniform_grid(mesh: Mesh):
     """Return (h, nx, ny, ix, jy) if the mesh is a uniform cut-cell grid
-    (all internal faces connect 4-adjacent grid squares), else None."""
+    (all internal faces connect 4-adjacent grid squares), else None.
+
+    Prefers the cut-cell generator's quadtree provenance (cell_gi/cell_gj)
+    when the mesh is single-level: it survives boundary smoothing, which
+    moves cut-cell centroids enough to break the position-based
+    reconstruction (the app driver smooths every cut-cell mesh, and without
+    this the smoothed flagship configuration fell off the stencil fast
+    path)."""
     if mesh.num_cells == 0:
         return None
     h = float(np.median(mesh.face_area))
     if h <= 0:
         return None
-    ix = np.floor(mesh.cell_cx / h + 1e-9).astype(np.int64)
-    jy = np.floor(mesh.cell_cy / h + 1e-9).astype(np.int64)
+    if mesh.cell_level is not None and \
+            mesh.cell_level.max() == mesh.cell_level.min():
+        ix = mesh.cell_gi.astype(np.int64)
+        jy = mesh.cell_gj.astype(np.int64)
+    else:
+        ix = np.floor(mesh.cell_cx / h + 1e-9).astype(np.int64)
+        jy = np.floor(mesh.cell_cy / h + 1e-9).astype(np.int64)
     if ix.min() < 0 or jy.min() < 0:
         return None
     nx = int(ix.max()) + 1
@@ -339,8 +376,25 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         ml_levels, ml_offsets, N_dev, dev_of_host = ml
         grid_shape = None
     else:
-        N_dev = N_host
-        dev_of_host = np.arange(N_host, dtype=np.int64)
+        # Generic (unstructured) layout: RCM-order cells so neighbors fall in
+        # a narrow index band, and pad the count to a multiple of 128 lanes —
+        # both for the banded Pallas gather (ops/banded_gather.py).  Padded
+        # cells are masked identity rows like structured solids.
+        try:
+            import scipy.sparse as sp
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+            ii = np.concatenate([owner[internal], neigh[internal]])
+            jj = np.concatenate([neigh[internal], owner[internal]])
+            adj = sp.csr_matrix((np.ones(len(ii)), (ii, jj)),
+                                shape=(N_host, N_host))
+            perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
+                              dtype=np.int64)
+            rank = np.empty(N_host, dtype=np.int64)
+            rank[perm] = np.arange(N_host)
+        except Exception:           # scipy unavailable: keep host order
+            rank = np.arange(N_host, dtype=np.int64)
+        N_dev = ((N_host + 127) // 128) * 128
+        dev_of_host = rank
         grid_shape = None
         ml_levels = None
 
@@ -489,7 +543,7 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         e_face = csr_faces
         e_sign = csr_sign
         e_host = csr_cells
-        e_dev = csr_cells
+        e_dev = dev_of_host[csr_cells]
         e_slot = within
 
     # ------------------------------------------------------------------
@@ -522,6 +576,7 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     # ------------------------------------------------------------------
     # Multilevel: exception entries + flux mirror mask.
     ml_exc_cell = ml_exc_slot = ml_exc_src = ck_mirror_arr = None
+    ml_pair = None
     if ml is not None:
         exc = internal[e_face] & ~ml_shiftable
         ml_exc_cell = e_dev[exc]
@@ -548,6 +603,11 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         ck_mirror_arr = np.zeros((N_dev, K))
         ck_mirror_arr[e_dev[w_ent], SLOT_W] = 1.0
         ck_mirror_arr[e_dev[s_ent], SLOT_S] = 1.0
+        # Entry pairs not covered by the mirror shift: side a's flux is
+        # scattered negated to side b (exact antisymmetry on hanging faces).
+        unm = ~(ew | ns)
+        pa, pb = a[unm], b[unm]
+        ml_pair = (e_dev[pa], e_slot[pa], e_dev[pb], e_slot[pb])
 
     def scat(vals, fill=0.0, idtype=np.float64):
         out = np.full((N_dev, K), fill, dtype=idtype)
@@ -557,6 +617,17 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     self_col = np.tile(np.arange(N_dev, dtype=np.int64)[:, None], (1, K))
     ck_neighbor = self_col.copy()
     ck_neighbor[e_dev, e_slot] = ngh_dev
+
+    # Banded gather metadata (generic RCM layout only).
+    bd_lane = bd_sel = None
+    bd_S = None
+    if grid_shape is None and ml is None and N_dev % 128 == 0:
+        from ..ops.banded_gather import build_banded_layout
+        bl = build_banded_layout(ck_neighbor)
+        if bl is not None:
+            lane_a, sel_a, bd_S = bl
+            bd_lane = jnp.asarray(lane_a, jnp.int32)
+            bd_sel = jnp.asarray(sel_a, jnp.int32)
 
     mask = np.zeros((N_dev, K))
     mask[e_dev, e_slot] = 1.0
@@ -577,11 +648,16 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
 
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
-        grid_shape=grid_shape, ml_levels=ml_levels,
+        grid_shape=grid_shape, ml_levels=ml_levels, bd_S=bd_S,
+        bd_lane=bd_lane, bd_sel=bd_sel,
         ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
         ml_exc_slot=None if ml_exc_slot is None else as_i(ml_exc_slot),
         ml_exc_src=None if ml_exc_src is None else as_i(ml_exc_src),
         ck_mirror=None if ck_mirror_arr is None else as_f(ck_mirror_arr),
+        ml_pair_cell_a=None if ml_pair is None else as_i(ml_pair[0]),
+        ml_pair_slot_a=None if ml_pair is None else as_i(ml_pair[1]),
+        ml_pair_cell_b=None if ml_pair is None else as_i(ml_pair[2]),
+        ml_pair_slot_b=None if ml_pair is None else as_i(ml_pair[3]),
         f_owner=as_i(dev_of_host[owner]),
         f_neighbor=as_i(np.where(internal, dev_of_host[neigh_safe], -1)),
         f_neighbor_safe=as_i(dev_of_host[neigh_safe]),

@@ -63,3 +63,69 @@ def test_live_server_runs_pauses_and_renders():
         assert s3["step"] > s2["step"]
     finally:
         server.stop()
+
+
+def test_live_server_control_parity():
+    """Drive every reference-panel control (app.rs:573-836): scheme,
+    time scheme, preconditioner, fluid preset (Re display), alpha_p,
+    dt/CFL/adaptive, wireframe, reset."""
+    sim = Simulation(geometry="rect", mesh_type="cutcell", cell_size=0.1)
+    server = LiveServer(sim, port=0).start()
+    try:
+        base = server.url
+        _get(base + "control?pause")
+        time.sleep(0.3)
+
+        _get(base + "control?scheme=1")
+        assert sim.solver.config.scheme == 1
+        _get(base + "control?time_scheme=1")
+        assert sim.solver.config.time_scheme == 1
+        _get(base + "control?precond=1")
+        assert sim.solver.config.precond_type == 1
+        _get(base + "control?fluid=Water")
+        assert float(sim.solver.params.density) == 1000.0
+        s = json.loads(_get(base + "status"))
+        assert abs(s["re"] - sim.reynolds) < 1e-6 and s["re"] > 0
+        _get(base + "control?alpha_p=0.8")
+        assert abs(float(sim.solver.params.alpha_p) - 0.8) < 1e-6
+        _get(base + "control?dt=0.002")
+        assert abs(float(sim.solver.params.dt) - 0.002) < 1e-9
+        _get(base + "control?cfl=0.3")
+        assert abs(sim.controller.target_cfl - 0.3) < 1e-9
+        _get(base + "control?adaptive=0")
+        assert sim.adaptive is False
+
+        # Wireframe toggle renders (polygon path on this small mesh).
+        _get(base + "control?wireframe=1")
+        assert _get(base + "frame.png")[:4] == b"\x89PNG"
+
+        # Reset zeroes the clock.
+        _get(base + "control?reset")
+        s = json.loads(_get(base + "status"))
+        assert s["step"] == 0 and s["time"] == 0.0
+    finally:
+        server.stop()
+
+
+def test_grid_renderer_is_o_pixels():
+    """Structured meshes render via imshow from device-order state (the
+    path that makes watching a 1M-cell run feasible)."""
+    import numpy as np
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+    from cfd2_tpu.viz.renderer import FieldRenderer
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    solver = CoupledSolver(mesh)      # unsmoothed uniform grid -> structured
+    r = FieldRenderer(mesh, device_mesh=solver.mesh)
+    assert r.grid is not None         # structured layout detected
+    state = type("S", (), {"u": np.asarray(solver.state.u),
+                           "p": np.asarray(solver.state.p),
+                           "d_p": np.asarray(solver.state.d_p)})()
+    t0 = time.time()
+    fig = r.render(state, mode="mag")
+    el = time.time() - t0
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+    assert el < 10.0

@@ -101,7 +101,10 @@ def test_slot_flux_conservation(refined):
     sums = np.zeros(dm.num_faces)
     np.add.at(sums, ck_face[sel], flux[sel])
     scale = np.abs(flux[sel]).max()
-    assert np.abs(sums).max() < 1e-5 * max(scale, 1e-30)
+    # EXACT antisymmetry: mirrored same-level faces by shift, hanging /
+    # non-mirrored faces by the owner-side scatter (ml_pair_*).
+    assert np.abs(sums).max() == 0.0, \
+        f"max face-sum {np.abs(sums).max():.2e} (scale {scale:.2e})"
 
 
 def test_multilevel_fine_grid_amg(refined):
