@@ -52,7 +52,7 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
     assert np.isfinite(s.get_u()).all()
     layout = ("structured" if s.mesh.structured
               else "multilevel" if s.mesh.multilevel
-              else f"banded(S={s.mesh.bd_S})" if s.mesh.bd_S is not None
+              else f"banded(W={s.mesh.bd_W})" if s.mesh.bd_W is not None
               else "generic")
     print(json.dumps({
         "mesh": min_cell if not max_cell else f"{min_cell}/{max_cell}",

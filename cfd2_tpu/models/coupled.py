@@ -68,7 +68,8 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         abstol=config.fgmres_abstol,
         stagnation_tol=config.fgmres_stagnation_tol,
         stagnation_limit=config.fgmres_stagnation_limit,
-        basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None)
+        basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
+        f64_norms=config.fgmres_f64_norms)
 
 
 def _use_stencil_path(mesh, config, amg) -> bool:
@@ -129,7 +130,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             abstol=config.fgmres_abstol,
             stagnation_tol=config.fgmres_stagnation_tol,
             stagnation_limit=config.fgmres_stagnation_limit,
-            basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None)
+            basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
+            f64_norms=config.fgmres_f64_norms)
         return replace(result, x=st.from_planar(ss, result.x))
 
     sys = assemble_coupled(mesh, state, params, config)

@@ -42,7 +42,14 @@ _MAX_LEVELS = 20
 @jax.tree_util.register_pytree_node_class
 @dataclass(frozen=True)
 class AmgLevel:
-    """One coarse level (level 0 is the fine pressure system itself)."""
+    """One coarse level (level 0 is the fine pressure system itself).
+
+    ``bm_*``: optional banded-gather plane triples (lane, sel, base) for the
+    level's ELL adjacency, the restriction member lists, and the
+    prolongation agg map (ops/banded_gather.py) with their static window
+    sizes — RCM ordering of the fine mesh makes aggregate ids near-monotone,
+    so every AMG gather is banded.  None falls back to XLA gathers.
+    """
     n: int                       # static size
     k: int                       # static max neighbors in ELL
     ell_neighbor: jnp.ndarray    # (n, k) int32, self-padded
@@ -50,14 +57,25 @@ class AmgLevel:
     agg: jnp.ndarray             # (n_fine,) int32 aggregate id (prolongation)
     members: jnp.ndarray         # (n, m) int32 fine members (restriction)
     members_mask: jnp.ndarray    # (n, m) f32
+    bm_ell: tuple | None = None
+    bm_members: tuple | None = None
+    bm_agg: tuple | None = None
+    w_ell: int | None = None
+    w_members: int | None = None
+    w_agg: int | None = None
 
     def tree_flatten(self):
         return ((self.ell_neighbor, self.rap_target, self.agg,
-                 self.members, self.members_mask), (self.n, self.k))
+                 self.members, self.members_mask, self.bm_ell,
+                 self.bm_members, self.bm_agg),
+                (self.n, self.k, self.w_ell, self.w_members, self.w_agg))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(aux[0], aux[1], *children)
+        n, k, w_ell, w_members, w_agg = aux
+        (ell, rap, agg, mem, memm, bme, bmm, bma) = children
+        return cls(n, k, ell, rap, agg, mem, memm, bme, bmm, bma,
+                   w_ell, w_members, w_agg)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -229,6 +247,21 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         members[agg[order], within] = order
         members_mask[agg[order], within] = 1.0
 
+        # Banded-gather maps (None when a band is too wide; see class doc).
+        from .banded_gather import build_banded_map
+
+        def _bm(idx, n_src):
+            r = build_banded_map(np.asarray(idx), n_src)
+            if r is None:
+                return None, None
+            lane, sel, base, w = r
+            return (jnp.asarray(lane), jnp.asarray(sel),
+                    jnp.asarray(base)), w
+
+        bme, we = _bm(coarse_ngh, nc)
+        bmm, wm = _bm(members, n)
+        bma, wa = _bm(agg[:, None], nc)
+
         levels.append(AmgLevel(
             n=nc, k=kc,
             ell_neighbor=jnp.asarray(coarse_ngh, jnp.int32),
@@ -236,6 +269,8 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
             agg=jnp.asarray(agg, jnp.int32),
             members=jnp.asarray(members, jnp.int32),
             members_mask=jnp.asarray(members_mask, jnp.float32),
+            bm_ell=bme, bm_members=bmm, bm_agg=bma,
+            w_ell=we, w_members=wm, w_agg=wa,
         ))
 
         ngh = coarse_ngh
@@ -788,10 +823,16 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     Level 0 uses ``mesh.gather`` (stencil shifts on structured meshes);
     coarse levels are small and use plain gathers over their ELL adjacency.
     """
+    from .banded_gather import banded_gather_nk
+
+    def _ell_gather(lvl):
+        if lvl.bm_ell is not None:
+            return lambda x: banded_gather_nk(x, *lvl.bm_ell, lvl.w_ell,
+                                              m_out=lvl.n)
+        return lambda x: x[lvl.ell_neighbor]
+
     L = len(hier.levels)
-    gathers = [mesh.gather] + [
-        (lambda ngh: (lambda x: x[ngh]))(lvl.ell_neighbor)
-        for lvl in hier.levels]
+    gathers = [mesh.gather] + [_ell_gather(lvl) for lvl in hier.levels]
 
     xs = [x0]
     bs = [b0]
@@ -801,7 +842,12 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
         lvl = hier.levels[i]
         x = _smooth(diag, off, gathers[i], xs[i], bs[i])
         r = bs[i] - _ell_spmv(diag, off, gathers[i], x)
-        b_c = jnp.sum(r[lvl.members] * lvl.members_mask, axis=1)
+        if lvl.bm_members is not None:
+            rm = banded_gather_nk(r, *lvl.bm_members, lvl.w_members,
+                                  m_out=lvl.n)
+        else:
+            rm = r[lvl.members]
+        b_c = jnp.sum(rm * lvl.members_mask, axis=1)
         xs[i] = x
         bs.append(b_c)
         xs.append(jnp.zeros((lvl.n,), x.dtype))
@@ -818,7 +864,12 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     for i in reversed(range(L)):
         lvl = hier.levels[i]
         diag, off = level_values[i]
-        x = xs[i] + xs[i + 1][lvl.agg]
+        if lvl.bm_agg is not None:
+            prol = banded_gather_nk(xs[i + 1], *lvl.bm_agg, lvl.w_agg,
+                                    m_out=lvl.agg.shape[0])[:, 0]
+        else:
+            prol = xs[i + 1][lvl.agg]
+        x = xs[i] + prol
         xs[i] = _smooth(diag, off, gathers[i], x, bs[i])
 
     return xs[0]

@@ -1,31 +1,33 @@
-"""Banded neighbor gather for unstructured meshes — the TPU-native fix for
-the generic gather path.
+"""Banded gather for unstructured meshes — the TPU-native fix for the
+generic gather path.
 
 The reference solves any mesh at full speed through one CSR-generic kernel
 (coupled_solver_fgmres.rs:1728; GPUs gather at HBM speed).  On TPU an XLA
-gather over (N, K) neighbor indices runs ~100x below HBM speed (DESIGN.md
-§3), which is why Delaunay/Voronoi meshes were slow.  This module replaces it
-with a Pallas kernel built around what v5e Mosaic *can* do fast:
-``tpu.dynamic_gather`` along lanes — out[i, l] = x[i, idx[i, l]] — with the
-source row in a single vreg (128 lanes).
+gather over (N, K) neighbor indices runs ~100x below HBM speed (measured
+0.57 GB/s at 1M x 8, tools/probe_slot_layout.py), which is why
+Delaunay/Voronoi meshes were slow.  This module replaces it with a Pallas
+kernel built around what v5e Mosaic *can* do fast: ``tpu.dynamic_gather``
+along lanes — out[i, l] = x[i, idx[i, l]] with the source row in a single
+vreg — measured at 12 Gelem/s (tools/probe_vmem_gather2.py), ~85x the XLA
+gather.
 
-Design (encode-time, runtime/device_mesh.py):
+Any index map whose sources are *banded* — each 128-output block reads from
+a narrow window of source rows — lowers to W = (window rows) masked lane
+gathers.  Three maps in the solver have that shape once cells are
+**RCM-ordered** (scipy reverse_cuthill_mckee; band ~ sqrt(N) for 2D meshes):
 
-* cells are **RCM-ordered** (scipy reverse_cuthill_mckee) so every cell's
-  neighbors lie within a narrow index band (~sqrt(N) for 2D meshes), and the
-  cell count is padded to a multiple of 128;
-* a cell d = b*128 + l lives in block b, lane l.  Its k-th neighbor g lies in
-  block b + (sel - S) with sel in [0, 2S+1), lane g % 128, where the window
-  radius S = ceil(band/128) is a small static integer (~3-6 at 100k cells);
-* the kernel walks the 2S+1 candidate source rows: broadcast row -> per-lane
-  dynamic_gather with the (K, 128) lane indices -> masked accumulate where
-  ``sel`` matches.  All VMEM-resident; HBM traffic is x (with halo), the
-  int32 index planes, and the output — ~50 B/cell versus the XLA gather's
-  effective ~6 GB/s.
+* the mesh neighbor gather (N, K) — W ~ 7-11;
+* AMG restriction (aggregate member lists) and prolongation (agg map) —
+  aggregation preserves RCM locality, so coarse ids are near-monotone in
+  fine order;
+* coarse-level ELL adjacencies.
 
-Layout note: the kernel's natural output is slot-major (K, N) — K on
-sublanes, cells on lanes — which tiles perfectly.  The (N, K) form used by
-the existing slot kernels is produced by an in-kernel per-block transpose.
+Encode-time (runtime/device_mesh.py): cells are RCM-ordered and the count
+padded to a multiple of 128; ``build_banded_map`` converts any (M, K) index
+array into (lane, sel, base, W) planes; the kernel walks the W candidate
+source rows per destination block: broadcast row -> per-lane dynamic_gather
+-> masked accumulate.  All VMEM-resident; HBM traffic is the operand, the
+int32 index planes, and the output.
 """
 
 from __future__ import annotations
@@ -41,36 +43,51 @@ from jax.experimental.pallas import tpu as pltpu
 LANES = 128
 
 
-def build_banded_layout(ck_neighbor: np.ndarray, max_s: int = 12):
-    """From a device-order (N, K) neighbor table (N a multiple of 128, RCM
-    order), build (lane, sel, S) for the kernel — or None if the band is too
-    wide (fall back to the XLA gather)."""
-    N, K = ck_neighbor.shape
-    assert N % LANES == 0
-    d = np.arange(N, dtype=np.int64)
-    g = ck_neighbor.astype(np.int64)
-    db = (g // LANES) - (d[:, None] // LANES)
-    S = int(np.abs(db).max())
-    if S > max_s:
+def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
+    """Compile an (M, K) int index map into banded-gather planes.
+
+    Returns ``(lane, sel, base, W)`` — lane/sel (NB, K, 128) int32, base
+    (NB,) int32, W static — or None when some destination block's source
+    spread exceeds ``w_max`` window rows (caller falls back to XLA gather).
+
+    Padded output rows (M -> NB*128) gather source element 0; callers slice
+    the output back to M.
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    M, K = idx.shape
+    NB = (M + LANES - 1) // LANES
+    Mp = NB * LANES
+    if Mp != M:
+        idx = np.concatenate(
+            [idx, np.zeros((Mp - M, K), np.int64)], axis=0)
+    n_rows = (n_src + LANES - 1) // LANES
+
+    sb = (idx // LANES).reshape(NB, LANES, K)
+    lane = (idx % LANES).reshape(NB, LANES, K)
+    lo = sb.min(axis=(1, 2))
+    hi = sb.max(axis=(1, 2))
+    W = int((hi - lo).max()) + 1
+    if W > w_max or n_rows < 1:
         return None
-    lane = (g % LANES).astype(np.int32)
-    sel = (db + S).astype(np.int32)
-    NB = N // LANES
-    # (N, K) -> (NB, K, LANES): entry [b, k, l] describes cell b*128+l slot k.
-    lane = lane.reshape(NB, LANES, K).transpose(0, 2, 1).copy()
-    sel = sel.reshape(NB, LANES, K).transpose(0, 2, 1).copy()
-    return lane, sel, S
+    W = min(W, n_rows)
+    base = np.minimum(lo, max(n_rows - W, 0)).astype(np.int32)
+    sel = (sb - base[:, None, None]).astype(np.int32)
+    assert (sel >= 0).all() and (sel < W).all()
+    lane = np.ascontiguousarray(lane.transpose(0, 2, 1)).astype(np.int32)
+    sel = np.ascontiguousarray(sel.transpose(0, 2, 1)).astype(np.int32)
+    return lane, sel, base, W
 
 
-def _gather_kernel(W: int, K: int, x_ref, lane_ref, sel_ref, o_ref):
-    """One destination block: pull K slot values for 128 cells from the
-    2S+1 candidate source rows."""
-    b = pl.program_id(0)
+def _gather_kernel(W: int, K: int, base_ref, lane_ref, sel_ref, x_ref,
+                   o_ref):
+    """One destination block: pull K slot values for 128 outputs from the
+    W candidate source rows starting at base[b]."""
+    b0 = base_ref[0]
     lanes = lane_ref[0]                       # (K, LANES)
     selv = sel_ref[0]
     acc = jnp.zeros((K, LANES), jnp.float32)
     for s in range(W):
-        src = x_ref[pl.ds(b + s, 1), :]       # (1, LANES); x is halo-padded
+        src = x_ref[pl.ds(b0 + s, 1), :]      # (1, LANES)
         srcb = jnp.broadcast_to(src, (K, LANES))
         g = jnp.take_along_axis(srcb, lanes, axis=1)
         acc = acc + jnp.where(selv == s, g, 0.0)
@@ -81,42 +98,47 @@ def _interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-@partial(jax.jit, static_argnames=("S",))
-def banded_gather_kn(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
-                     S: int) -> jnp.ndarray:
-    """Slot-major gather: x (N,) -> (K, N) neighbor values."""
+@partial(jax.jit, static_argnames=("W",))
+def _banded_gather_raw(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
+                       base: jnp.ndarray, W: int) -> jnp.ndarray:
+    """x (n_src,) -> (NB, K, 128) slot values (padded rows gather x[0])."""
     NB, K, _ = lane.shape
-    W = 2 * S + 1
-    xpad = jnp.concatenate([
-        jnp.zeros((S, LANES), x.dtype),
-        x.reshape(NB, LANES),
-        jnp.zeros((S, LANES), x.dtype)], axis=0)
-    out = pl.pallas_call(
+    n_src = x.shape[0]
+    n_rows = (n_src + LANES - 1) // LANES
+    pad = n_rows * LANES - n_src
+    xr = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(n_rows, LANES)
+    return pl.pallas_call(
         partial(_gather_kernel, W, K),
         grid=(NB,),
         out_shape=jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+        in_specs=[pl.BlockSpec((1,), lambda b: (b,),
+                               memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM)],
+                               memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=_interpret(),
-    )(xpad.astype(jnp.float32), lane, sel)
-    # (NB, K, LANES) -> (K, NB, LANES) -> (K, N)
-    return jnp.moveaxis(out, 1, 0).reshape(K, -1).astype(x.dtype)
+    )(base, lane, sel, xr)
 
 
 def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
-                     S: int) -> jnp.ndarray:
-    """(N, K) neighbor values (API-compatible with DeviceMesh.gather).
+                     base: jnp.ndarray, W: int,
+                     m_out: int | None = None) -> jnp.ndarray:
+    """(M, K) gathered values (API-compatible with DeviceMesh.gather).
 
-    Tail dims (x of shape (N, C)) are handled per component.
+    Tail dims (x of shape (n_src, C)) are handled per component.
+    ``m_out``: un-padded output row count (default NB*128).
     """
     if x.ndim == 2:
-        cols = [banded_gather_nk(x[:, c], lane, sel, S)
+        cols = [banded_gather_nk(x[:, c], lane, sel, base, W, m_out)
                 for c in range(x.shape[1])]
         return jnp.stack(cols, axis=2)
-    kn = banded_gather_kn(x, lane, sel, S)     # (K, N)
-    return kn.T
+    NB, K, _ = lane.shape
+    raw = _banded_gather_raw(x, lane, sel, base, W)    # (NB, K, 128)
+    out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
+    if m_out is not None and m_out != NB * LANES:
+        out = out[:m_out]
+    return out

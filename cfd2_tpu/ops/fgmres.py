@@ -59,6 +59,7 @@ def fgmres_solve(
     cgs_chunk_rows: int = 8,
     flatten: bool | None = None,
     basis_dtype=None,
+    f64_norms: bool = False,
 ) -> FgmresResult:
     """Solve A x = b; vectors have shape (N, 3) (or any fixed shape).
 
@@ -117,11 +118,22 @@ def fgmres_solve(
     if basis_dtype is None:
         basis_dtype = dtype
 
-    rhs_norm = _norm(bf)
+    if f64_norms:
+        # f64 residual/norm accumulation for stiff cases (e.g. water
+        # backwards-step at fine h: rho=1000 squares into the norms and
+        # saturates f32 accumulation).  Requires jax_enable_x64 — without it
+        # jnp silently keeps f32, making the flag a harmless no-op.
+        def nrm(v):
+            acc = jnp.sum(v.astype(jnp.float64) ** 2)
+            return jnp.sqrt(acc).astype(dtype)
+    else:
+        nrm = _norm
+
+    rhs_norm = nrm(bf)
     target = jnp.maximum(tol * rhs_norm, abstol)
 
     r0 = bf - mv(x0)
-    beta0 = _norm(r0)
+    beta0 = nrm(r0)
 
     V0 = jnp.zeros((m + 1,) + vshape, basis_dtype)
     Z0 = jnp.zeros((m,) + vshape, dtype)
@@ -180,7 +192,7 @@ def fgmres_solve(
                     else jnp.concatenate(dots_parts))
             w = w - proj
 
-            hnorm = _norm(w)
+            hnorm = nrm(w)
             v_next = jnp.where(hnorm > 0.0, 1.0 / jnp.maximum(hnorm, 1e-30), 0.0) * w
             V = lax.dynamic_update_index_in_dim(
                 V, v_next.astype(basis_dtype), j + 1, 0)
@@ -252,7 +264,7 @@ def fgmres_solve(
         (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
         # Seed V[0] = r / beta.
         r = bf - mv(x)
-        rn = _norm(r)
+        rn = nrm(r)
         v0 = jnp.where(rn > 0.0, 1.0 / jnp.maximum(rn, 1e-30), 0.0) * r
         V = V.at[0].set(v0.astype(basis_dtype))
 
@@ -261,7 +273,7 @@ def fgmres_solve(
 
         # True residual after the cycle (coupled_solver_fgmres.rs:2354-2373).
         r_new = bf - mv(x)
-        res_new = _norm(r_new)
+        res_new = nrm(r_new)
         conv_new = res_new < target
 
         # Stagnation detection across restarts (:2403-2419).

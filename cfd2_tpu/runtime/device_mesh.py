@@ -54,10 +54,10 @@ class DeviceMesh:
     # Multilevel (locally-refined quadtree) fast path: per-level (ny, nx)
     # grids, finest first; device cells are the levels' grids concatenated.
     ml_levels: tuple | None
-    # Banded generic fast path (ops/banded_gather.py): RCM window radius in
-    # 128-cell blocks; None when the mesh is structured/multilevel or the
-    # band is too wide.
-    bd_S: int | None
+    # Banded generic fast path (ops/banded_gather.py): static window-row
+    # count; None when the mesh is structured/multilevel or the band is too
+    # wide.
+    bd_W: int | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -109,9 +109,11 @@ class DeviceMesh:
     # partner's E/N slot value by shift (exact antisymmetry).
     ck_mirror: jnp.ndarray | None = None
 
-    # Banded generic fast path index planes (NB, K, 128) int32.
+    # Banded generic fast path index planes (NB, K, 128) int32 + per-block
+    # base source rows (NB,) int32.
     bd_lane: jnp.ndarray | None = None
     bd_sel: jnp.ndarray | None = None
+    bd_base: jnp.ndarray | None = None
 
     # Multilevel: (cell, slot) entry pairs of internal faces NOT resolved by
     # the W/S mirror shift (cross-level/hanging + extra-slot faces).  The
@@ -131,7 +133,7 @@ class DeviceMesh:
         "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_dist_proj",
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
         "ml_exc_cell", "ml_exc_slot", "ml_exc_src", "ck_mirror",
-        "bd_lane", "bd_sel",
+        "bd_lane", "bd_sel", "bd_base",
         "ml_pair_cell_a", "ml_pair_slot_a", "ml_pair_cell_b",
         "ml_pair_slot_b",
     )
@@ -140,7 +142,7 @@ class DeviceMesh:
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
                self.num_host_cells, self.grid_shape, self.ml_levels,
-               self.bd_S)
+               self.bd_W)
         return children, aux
 
     @classmethod
@@ -203,9 +205,10 @@ class DeviceMesh:
             # Cross-level/hanging entries: tiny gather then scatter-override.
             vals = x[self.ml_exc_src]
             return base.at[self.ml_exc_cell, self.ml_exc_slot].set(vals)
-        if self.bd_S is not None:
+        if self.bd_W is not None:
             from ..ops.banded_gather import banded_gather_nk
-            return banded_gather_nk(x, self.bd_lane, self.bd_sel, self.bd_S)
+            return banded_gather_nk(x, self.bd_lane, self.bd_sel,
+                                    self.bd_base, self.bd_W)
         return x[self.ck_neighbor]
 
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
@@ -619,15 +622,16 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     ck_neighbor[e_dev, e_slot] = ngh_dev
 
     # Banded gather metadata (generic RCM layout only).
-    bd_lane = bd_sel = None
-    bd_S = None
+    bd_lane = bd_sel = bd_base = None
+    bd_W = None
     if grid_shape is None and ml is None and N_dev % 128 == 0:
-        from ..ops.banded_gather import build_banded_layout
-        bl = build_banded_layout(ck_neighbor)
+        from ..ops.banded_gather import build_banded_map
+        bl = build_banded_map(ck_neighbor, N_dev)
         if bl is not None:
-            lane_a, sel_a, bd_S = bl
+            lane_a, sel_a, base_a, bd_W = bl
             bd_lane = jnp.asarray(lane_a, jnp.int32)
             bd_sel = jnp.asarray(sel_a, jnp.int32)
+            bd_base = jnp.asarray(base_a, jnp.int32)
 
     mask = np.zeros((N_dev, K))
     mask[e_dev, e_slot] = 1.0
@@ -648,8 +652,8 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
 
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
-        grid_shape=grid_shape, ml_levels=ml_levels, bd_S=bd_S,
-        bd_lane=bd_lane, bd_sel=bd_sel,
+        grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W,
+        bd_lane=bd_lane, bd_sel=bd_sel, bd_base=bd_base,
         ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
         ml_exc_slot=None if ml_exc_slot is None else as_i(ml_exc_slot),
         ml_exc_src=None if ml_exc_src is None else as_i(ml_exc_src),

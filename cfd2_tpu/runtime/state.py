@@ -105,6 +105,11 @@ class SolverConfig:
     # stays f32 (the near-null constant mode already strains f32
     # conditioning, DESIGN.md §10).  Default False (see fgmres_basis_bf16).
     precond_bf16: bool = False
+    # f64 accumulation of FGMRES norms/residuals (stiff cases, e.g. water at
+    # rho=1000 where squared norms strain f32).  Needs jax_enable_x64;
+    # without it the cast is a silent no-op.  Off by default (f32 matches
+    # the reference's all-f32 device numerics, DESIGN.md §10).
+    fgmres_f64_norms: bool = False
     # Inexact-Newton forcing: early outer iterations solve to a looser
     # relative tolerance (10^-(3+it) floored at fgmres_tol).  This paid
     # ~28% when the preconditioner was weak (round 1: first solves burned

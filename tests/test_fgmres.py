@@ -129,3 +129,22 @@ def test_bf16_basis_solution_parity():
     assert np.linalg.norm(x16 - x32) / np.linalg.norm(x32) < 1e-4
     rel = np.linalg.norm(A @ x16 - b.reshape(-1)) / np.linalg.norm(b)
     assert rel < 1e-5
+
+
+def test_f64_norms_option_converges():
+    """ROADMAP #5: f64 norm accumulation option — functional parity with the
+    f32 path (a silent no-op without jax_enable_x64, full f64 with it)."""
+    rng = np.random.default_rng(11)
+    N = 40
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.1
+    A += np.eye(3 * N, dtype=np.float32) * 5.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    Aj = jnp.asarray(A)
+    matvec = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    res = fgmres_solve(matvec, lambda r: r * 0.2, jnp.asarray(b),
+                       jnp.zeros((N, 3), jnp.float32),
+                       restart=20, max_restarts=10, tol=1e-6, abstol=1e-10,
+                       f64_norms=True)
+    x = np.asarray(res.x).reshape(-1)
+    rel = np.linalg.norm(A @ x - b.reshape(-1)) / np.linalg.norm(b)
+    assert bool(res.converged) and rel < 1e-4

@@ -74,15 +74,28 @@ def main():
             return structured_v_cycle(hier, lv2, rhs2.reshape(-1),
                                       x0.reshape(-1),
                                       coarse_factors=fac).reshape(ss.grid)
-        pc = lambda r: st.schur_precond_planar(
-            ss, r, config.precond_omega,
-            config.pressure_sweeps(dm.num_cells), pressure_solve=ps)
+        ms_n = config.mom_sweeps(dm.num_cells)
+        if os.environ.get("PROF_BF16"):
+            ss_pc = st.cast_coeffs(ss, jnp.bfloat16)
+            ps_pc = lambda rhs: ps(rhs.astype(jnp.float32)).astype(jnp.bfloat16)
+            pc = lambda r: st.schur_precond_planar(
+                ss_pc, r.astype(jnp.bfloat16), config.precond_omega,
+                config.pressure_sweeps(dm.num_cells), pressure_solve=ps_pc,
+                mom_sweeps=ms_n).astype(jnp.float32)
+            bdt = jnp.bfloat16
+        else:
+            pc = lambda r: st.schur_precond_planar(
+                ss, r, config.precond_omega,
+                config.pressure_sweeps(dm.num_cells), pressure_solve=ps,
+                mom_sweeps=ms_n)
+            bdt = None
         mv = lambda x: st.spmv_planar(ss, x)
         x0 = st.to_planar(ss, jnp.concatenate(
             [state.u, state.p[:, None]], axis=1))
         return fgmres_solve(mv, pc, st.to_planar(ss, ss.rhs), x0,
                             restart=config.fgmres_restart, max_restarts=5,
-                            tol=tol, abstol=config.fgmres_abstol)
+                            tol=tol, abstol=config.fgmres_abstol,
+                            basis_dtype=bdt)
 
     f_solve = jax.jit(solve)
 
@@ -107,6 +120,8 @@ def main():
                             lambda o: float(o[1][0][0, 0] if isinstance(
                                 o[1], tuple) else o[1][0][0]))
     print(f"coarsen   {ms:8.2f} ms", flush=True)
+    print(f"# mom_sweeps={config.mom_sweeps(dm.num_cells)} "
+          f"bf16={'on' if os.environ.get('PROF_BF16') else 'off'}", flush=True)
     for tol in (1e-3, 1e-5):
         ms, res = t_read(lambda: f_solve(ss, lv2, fac, state_p, tol),
                          lambda o: float(o.residual), n=3)
