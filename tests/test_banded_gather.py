@@ -1,0 +1,70 @@
+"""Banded-gather unit tests (ops/banded_gather.py): the Pallas kernel (in
+interpret mode on CPU) must agree exactly with the plain XLA gather for
+mesh-style neighbor maps, rectangular maps (restriction/prolongation), and
+padded shapes."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cfd2_tpu.ops.banded_gather import (LANES, banded_gather_nk,
+                                        build_banded_map)
+
+
+def _check(idx, n_src, rng):
+    bm = build_banded_map(idx, n_src)
+    assert bm is not None
+    lane, sel, base, W = bm
+    x = jnp.asarray(rng.standard_normal(n_src), jnp.float32)
+    out = np.asarray(banded_gather_nk(
+        x, jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(base), W,
+        m_out=idx.shape[0]))
+    ref = np.asarray(x)[idx]
+    np.testing.assert_array_equal(out, ref)
+    return W
+
+
+def test_mesh_style_banded_map():
+    rng = np.random.default_rng(0)
+    N, K, band = 1024, 5, 200
+    base = np.arange(N)[:, None]
+    idx = np.clip(base + rng.integers(-band, band + 1, (N, K)), 0, N - 1)
+    W = _check(idx, N, rng)
+    assert W <= 2 * (band // LANES + 1) + 1
+
+
+def test_rectangular_map_restriction_like():
+    """Coarse destinations gathering from a 3x larger fine operand."""
+    rng = np.random.default_rng(1)
+    nc, m = 700, 4                      # not a multiple of 128 (pads)
+    n_fine = 2100
+    centers = (np.arange(nc) * 3)[:, None]
+    idx = np.clip(centers + rng.integers(-40, 41, (nc, m)), 0, n_fine - 1)
+    _check(idx, n_fine, rng)
+
+
+def test_prolongation_like_single_slot():
+    rng = np.random.default_rng(2)
+    n_fine, nc = 1500, 500
+    agg = np.clip(np.arange(n_fine) // 3
+                  + rng.integers(-2, 3, n_fine), 0, nc - 1)
+    _check(agg[:, None], nc, rng)
+
+
+def test_wide_band_returns_none():
+    rng = np.random.default_rng(3)
+    N = 2048
+    idx = rng.integers(0, N, (N, 4))    # random: band ~ N
+    assert build_banded_map(idx, N, w_max=8) is None
+
+
+def test_tail_dims():
+    rng = np.random.default_rng(4)
+    N, K = 512, 3
+    idx = np.clip(np.arange(N)[:, None]
+                  + rng.integers(-100, 101, (N, K)), 0, N - 1)
+    lane, sel, base, W = build_banded_map(idx, N)
+    x = jnp.asarray(rng.standard_normal((N, 2)), jnp.float32)
+    out = np.asarray(banded_gather_nk(
+        x, jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(base), W,
+        m_out=N))
+    np.testing.assert_array_equal(out, np.asarray(x)[idx])

@@ -44,13 +44,17 @@ def main():
     s.set_dt(min(0.002, 0.4 * min_cell))
     s.set_viscosity(0.01)
     s.set_precond_type(1)
+    from dataclasses import replace as _rep
+    # match bench/bf16_smoke config so the fused-step compile cache hits
+    s.config = _rep(s.config, fgmres_max_restarts=5)
     u0 = np.zeros((mesh.num_cells, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)
-    print(f"# mesh {s.mesh.num_cells}; warming {n_warm} host steps", flush=True)
+    print(f"# mesh {s.mesh.num_cells}; warming {n_warm} fused steps",
+          flush=True)
     for _ in range(n_warm):
-        s.state = step_host(s.mesh, s.state, s.params, s.config, s._get_amg())
-    float(s.state.u[0, 0])
+        s.step()
+        float(s.state.u[0, 0])
     print(f"# warm done ({time.time()-t0:.0f}s)", flush=True)
 
     dm, config, params, hier = s.mesh, s.config, s.params, s._get_amg()
@@ -68,27 +72,31 @@ def main():
 
     f_coarsen = jax.jit(coarsen)
 
+    n_vc = int(os.environ.get("PROF_VCYCLES", "1"))
+    mode16 = os.environ.get("PROF_BF16", "")   # "", "basis", "pc", "both"
+
     def solve(ss, lv2, fac, state, tol):
         def ps(rhs2):
-            x0 = ss.diag_p_inv2 * rhs2
-            return structured_v_cycle(hier, lv2, rhs2.reshape(-1),
-                                      x0.reshape(-1),
-                                      coarse_factors=fac).reshape(ss.grid)
-        ms_n = config.mom_sweeps(dm.num_cells)
-        if os.environ.get("PROF_BF16"):
+            x = ss.diag_p_inv2 * rhs2
+            for _ in range(n_vc):
+                x = structured_v_cycle(hier, lv2, rhs2.reshape(-1),
+                                       x.reshape(-1),
+                                       coarse_factors=fac).reshape(ss.grid)
+            return x
+        ms_n = int(os.environ.get("PROF_MOM", "0")) or             config.mom_sweeps(dm.num_cells)
+        if mode16 in ("pc", "both"):
             ss_pc = st.cast_coeffs(ss, jnp.bfloat16)
             ps_pc = lambda rhs: ps(rhs.astype(jnp.float32)).astype(jnp.bfloat16)
             pc = lambda r: st.schur_precond_planar(
                 ss_pc, r.astype(jnp.bfloat16), config.precond_omega,
                 config.pressure_sweeps(dm.num_cells), pressure_solve=ps_pc,
                 mom_sweeps=ms_n).astype(jnp.float32)
-            bdt = jnp.bfloat16
         else:
             pc = lambda r: st.schur_precond_planar(
                 ss, r, config.precond_omega,
                 config.pressure_sweeps(dm.num_cells), pressure_solve=ps,
                 mom_sweeps=ms_n)
-            bdt = None
+        bdt = jnp.bfloat16 if mode16 in ("basis", "both") else None
         mv = lambda x: st.spmv_planar(ss, x)
         x0 = st.to_planar(ss, jnp.concatenate(
             [state.u, state.p[:, None]], axis=1))
@@ -120,8 +128,8 @@ def main():
                             lambda o: float(o[1][0][0, 0] if isinstance(
                                 o[1], tuple) else o[1][0][0]))
     print(f"coarsen   {ms:8.2f} ms", flush=True)
-    print(f"# mom_sweeps={config.mom_sweeps(dm.num_cells)} "
-          f"bf16={'on' if os.environ.get('PROF_BF16') else 'off'}", flush=True)
+    print(f"# mom_sweeps={int(os.environ.get('PROF_MOM', '0')) or config.mom_sweeps(dm.num_cells)} "
+          f"bf16={mode16 or 'off'} vcycles={n_vc}", flush=True)
     for tol in (1e-3, 1e-5):
         ms, res = t_read(lambda: f_solve(ss, lv2, fac, state_p, tol),
                          lambda o: float(o.residual), n=3)
