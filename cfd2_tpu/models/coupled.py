@@ -69,7 +69,9 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         stagnation_tol=config.fgmres_stagnation_tol,
         stagnation_limit=config.fgmres_stagnation_limit,
         basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
-        f64_norms=config.fgmres_f64_norms)
+        f64_norms=config.fgmres_f64_norms,
+        incycle_window=config.fgmres_incycle_window,
+        incycle_tol=config.fgmres_incycle_tol)
 
 
 def _use_stencil_path(mesh, config, amg) -> bool:
@@ -131,7 +133,9 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             stagnation_tol=config.fgmres_stagnation_tol,
             stagnation_limit=config.fgmres_stagnation_limit,
             basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
-            f64_norms=config.fgmres_f64_norms)
+            f64_norms=config.fgmres_f64_norms,
+            incycle_window=config.fgmres_incycle_window,
+            incycle_tol=config.fgmres_incycle_tol)
         return replace(result, x=st.from_planar(ss, result.x))
 
     sys = assemble_coupled(mesh, state, params, config)

@@ -60,6 +60,8 @@ def fgmres_solve(
     flatten: bool | None = None,
     basis_dtype=None,
     f64_norms: bool = False,
+    incycle_window: int = 0,
+    incycle_tol: float = 0.02,
 ) -> FgmresResult:
     """Solve A x = b; vectors have shape (N, 3) (or any fixed shape).
 
@@ -82,6 +84,17 @@ def fgmres_solve(
     orthogonality; the per-cycle *true-residual* recomputation and restart
     logic absorb that, so convergence is protected by construction (flexible
     GMRES already tolerates inexact preconditioning of exactly this kind).
+
+    ``incycle_window``: if > 0, exit an Arnoldi cycle early when the
+    minimized-residual estimate |g_{j+1}| has improved by less than
+    ``incycle_tol`` (relative) over the last ``incycle_window`` iterations.
+    Near the f32 attainable-accuracy floor the estimate flattens and further
+    iterations only burn bandwidth; this is the reference's restart-level
+    stagnation test (coupled_solver_fgmres.rs:2403-2419) applied at
+    iteration granularity.  The outer true-residual recomputation and
+    restart stagnation logic are unchanged, so the exit never loosens the
+    convergence contract — it only stops paying for progress that is not
+    happening.  0 disables (reference-parity default).
     """
     m = restart
     shape = b.shape
@@ -147,11 +160,11 @@ def fgmres_solve(
         idx = jnp.arange(m + 1)
 
         def cond(carry):
-            V, Z, H, cs, sn, g, j, conv = carry
+            V, Z, H, cs, sn, g, j, conv, best_r, best_j = carry
             return (j < m) & ~conv
 
         def body(carry):
-            V, Z, H, cs, sn, g, j, conv = carry
+            V, Z, H, cs, sn, g, j, conv, best_r, best_j = carry
             v_j = V[j].astype(dtype)
             z = pc(v_j)
             w = mv(z)
@@ -242,10 +255,16 @@ def fgmres_solve(
 
             resid = jnp.abs(g[j + 1])
             conv = resid < target
-            return V, Z, H, cs, sn, g, j + 1, conv
+            if incycle_window > 0:
+                improved = resid < (1.0 - incycle_tol) * best_r
+                best_r = jnp.where(improved, resid, best_r)
+                best_j = jnp.where(improved, j + 1, best_j)
+                conv = conv | (j + 1 - best_j >= incycle_window)
+            return V, Z, H, cs, sn, g, j + 1, conv, best_r, best_j
 
-        V, Z, H, cs, sn, g, j, conv = lax.while_loop(
-            cond, body, (V, Z, H, cs, sn, g, jnp.int32(0), jnp.asarray(False)))
+        V, Z, H, cs, sn, g, j, conv, _, _ = lax.while_loop(
+            cond, body, (V, Z, H, cs, sn, g, jnp.int32(0), jnp.asarray(False),
+                         beta, jnp.int32(0)))
 
         # Masked triangular solve for y (rows/cols >= j are padded to
         # identity so stale entries are inert).

@@ -110,6 +110,14 @@ class SolverConfig:
     # without it the cast is a silent no-op.  Off by default (f32 matches
     # the reference's all-f32 device numerics, DESIGN.md §10).
     fgmres_f64_norms: bool = False
+    # In-cycle stall exit (ops/fgmres.py incycle_window): stop an Arnoldi
+    # cycle when the residual estimate has improved < incycle_tol over the
+    # last N iterations (the f32 attainable-accuracy floor on warm states
+    # turns strict-tolerance solves into long stalls; the true-residual /
+    # restart-stagnation contract is unchanged).  0 = off (reference
+    # parity).
+    fgmres_incycle_window: int = 0
+    fgmres_incycle_tol: float = 0.02
     # Inexact-Newton forcing: early outer iterations solve to a looser
     # relative tolerance (10^-(3+it) floored at fgmres_tol).  This paid
     # ~28% when the preconditioner was weak (round 1: first solves burned

@@ -148,3 +148,28 @@ def test_f64_norms_option_converges():
     x = np.asarray(res.x).reshape(-1)
     rel = np.linalg.norm(A @ x - b.reshape(-1)) / np.linalg.norm(b)
     assert bool(res.converged) and rel < 1e-4
+
+
+def test_incycle_stall_exit_cuts_iterations():
+    """When the tolerance is unattainable, the opt-in in-cycle stall exit
+    must stop burning iterations while returning an equivalent solution."""
+    rng = np.random.default_rng(21)
+    N = 50
+    # Moderately conditioned system + noisy preconditioner: residual floors
+    # well above the 1e-12 target.
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.3
+    A += np.eye(3 * N, dtype=np.float32) * 3.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    Aj = jnp.asarray(A)
+    matvec = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    precond = lambda r: r * 0.3
+    kw = dict(restart=40, max_restarts=4, tol=1e-14, abstol=1e-30)
+    r_ref = fgmres_solve(matvec, precond, jnp.asarray(b),
+                         jnp.zeros((N, 3), jnp.float32), **kw)
+    r_cut = fgmres_solve(matvec, precond, jnp.asarray(b),
+                         jnp.zeros((N, 3), jnp.float32),
+                         incycle_window=12, **kw)
+    # The knob trades tail accuracy for iterations (opt-in; the outer
+    # loop's true-residual contract still guards the fields).
+    assert int(r_cut.iterations) < int(r_ref.iterations)
+    assert float(r_cut.residual) < 2.0 * max(float(r_ref.residual), 1e-9)
