@@ -109,6 +109,10 @@ def run_bench(min_cell=None):
                         "BENCH_MOM_SWEEPS", "0")),   # 0 = size-auto
                     fgmres_basis_bf16="basis" in bf16,
                     precond_bf16="pc" in bf16,
+                    precond_vcycles=int(os.environ.get("BENCH_VCYCLES", "0")),
+                    precond_mom_adi=int(os.environ.get("BENCH_MOM_ADI", "0")),
+                    fgmres_incycle_window=int(os.environ.get(
+                        "BENCH_INCYCLE", "0")),
                     adaptive_linear_tol=os.environ.get(
                         "BENCH_ADAPTIVE", "0") == "1")
     u0 = np.zeros((n, 2))

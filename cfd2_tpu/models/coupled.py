@@ -101,7 +101,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
         # 3-wide minor axis costs a relayout on every per-iteration
         # split/stack otherwise).
         matvec = lambda x: st.spmv_planar(ss, x)
-        ps = (st.make_pressure_solve2(amg, ss)
+        ps = (st.make_pressure_solve2(
+                  amg, ss, n_cycles=config.pressure_vcycles(mesh.num_cells))
               if config.precond_type == PRECOND_AMG else None)
         if config.precond_bf16:
             # Apply M^{-1} in bf16 (coefficients cast once per assembly);
@@ -115,12 +116,14 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             precond = lambda r: st.schur_precond_planar(
                 ss_pc, r.astype(jnp.bfloat16), config.precond_omega,
                 n_sweeps, pressure_solve=ps_pc,
-                mom_sweeps=config.mom_sweeps(mesh.num_cells)
+                mom_sweeps=config.mom_sweeps(mesh.num_cells),
+                mom_adi=config.precond_mom_adi,
             ).astype(jnp.float32)
         else:
             precond = lambda r: st.schur_precond_planar(
                 ss, r, config.precond_omega, n_sweeps, pressure_solve=ps,
-                mom_sweeps=config.mom_sweeps(mesh.num_cells))
+                mom_sweeps=config.mom_sweeps(mesh.num_cells),
+                mom_adi=config.precond_mom_adi)
         x0 = (x_guess if x_guess is not None else
               jnp.concatenate([state.u, state.p[:, None]], axis=1))
         result = fgmres_solve(

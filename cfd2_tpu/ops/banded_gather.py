@@ -81,8 +81,9 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
 def _gather_kernel(W: int, K: int, base_ref, lane_ref, sel_ref, x_ref,
                    o_ref):
     """One destination block: pull K slot values for 128 outputs from the
-    W candidate source rows starting at base[b]."""
-    b0 = base_ref[0]
+    W candidate source rows starting at base[b].  ``base_ref`` is the whole
+    (NB,) SMEM array (TPU Mosaic rejects rank-1 size-1 SMEM blocks)."""
+    b0 = base_ref[pl.program_id(0)]
     lanes = lane_ref[0]                       # (K, LANES)
     selv = sel_ref[0]
     acc = jnp.zeros((K, LANES), jnp.float32)
@@ -103,6 +104,12 @@ def _banded_gather_raw(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
                        base: jnp.ndarray, W: int) -> jnp.ndarray:
     """x (n_src,) -> (NB, K, 128) slot values (padded rows gather x[0])."""
     NB, K, _ = lane.shape
+    if K == 1:
+        # Single-slot maps (prolongation): K=1 take_along_axis lowers to a
+        # gather form Mosaic rejects; run with a duplicated slot and slice.
+        lane = jnp.concatenate([lane, lane], axis=1)
+        sel = jnp.concatenate([sel, sel], axis=1)
+        return _banded_gather_raw(x, lane, sel, base, W)[:, :1]
     n_src = x.shape[0]
     n_rows = (n_src + LANES - 1) // LANES
     pad = n_rows * LANES - n_src
@@ -111,8 +118,7 @@ def _banded_gather_raw(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
         partial(_gather_kernel, W, K),
         grid=(NB,),
         out_shape=jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32),
-        in_specs=[pl.BlockSpec((1,), lambda b: (b,),
-                               memory_space=pltpu.SMEM),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
                   pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),

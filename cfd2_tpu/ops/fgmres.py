@@ -272,7 +272,26 @@ def fgmres_solve(
         Heff = H[:m, :m] + jnp.diag(jnp.where(km >= j, 1.0, 0.0).astype(dtype))
         geff = jnp.where(km < j, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(Heff, geff, lower=False)
-        x = x + rowexp(y, Z)
+        # Solution update in static chunks gated on j, like the CGS pass:
+        # y_i = 0 exactly for i >= j, so skipped chunks contribute nothing —
+        # without the gating this read all m rows of Z (624 MB at 1M cells)
+        # when a typical solve uses ~11-30.
+        ch = max(1, min(cgs_chunk_rows, m))
+        upd = jnp.zeros_like(x)
+        for start in range(0, m, ch):
+            size = min(ch, m - start)
+            Zc = lax.slice_in_dim(Z, start, start + size, axis=0)
+            yc = lax.dynamic_slice_in_dim(y, start, size)
+
+            def _part(Zc=Zc, yc=yc):
+                return rowexp(yc, Zc)
+
+            if start == 0:
+                p = _part()
+            else:
+                p = lax.cond(j > start, _part, lambda: jnp.zeros_like(x))
+            upd = upd + p
+        x = x + upd
         return x, V, Z, H, j, conv
 
     def outer_cond(carry):

@@ -237,15 +237,102 @@ def _momentum_solve(ss: StencilSystem, r_u, r_v, sweeps: int,
     return z_u, z_v
 
 
+def _shift_along(x: jnp.ndarray, s: int, axis: int, fill: float) -> jnp.ndarray:
+    """Value from index i+s along ``axis`` (s may be negative), edges filled
+    with ``fill``."""
+    n = x.shape[axis]
+    pad = jnp.full_like(lax.slice_in_dim(x, 0, abs(s), axis=axis), fill)
+    if s > 0:
+        body = lax.slice_in_dim(x, s, n, axis=axis)
+        return jnp.concatenate([body, pad], axis=axis)
+    body = lax.slice_in_dim(x, 0, n + s, axis=axis)
+    return jnp.concatenate([pad, body], axis=axis)
+
+
+def pcr_line_solve(a, b, c, r, axis: int, steps: int = 4) -> jnp.ndarray:
+    """Approximate batched tridiagonal solve along ``axis`` by truncated
+    parallel cyclic reduction.
+
+    Row i couples (a_i, b_i, c_i) to (i-1, i, i+1); each PCR step eliminates
+    the couplings at distance s = 2^k, doubling the coupling distance and
+    (for diagonally dominant systems) shrinking the off-diagonals roughly
+    quadratically — K=3-4 steps + a diagonal solve is an excellent line
+    solve, and every operation is an edge-filled shift + elementwise math
+    (stencil-class on TPU; no scans, no sequential Thomas recurrence).
+    Boundary rows carry a_0 = c_last = 0, which PCR propagates, so zero-fill
+    shifts are exact.
+    """
+    for k in range(steps):
+        s = 1 << k
+        b_m = _shift_along(b, -s, axis, 1.0)
+        b_p = _shift_along(b, +s, axis, 1.0)
+        a_m = _shift_along(a, -s, axis, 0.0)
+        c_m = _shift_along(c, -s, axis, 0.0)
+        a_p = _shift_along(a, +s, axis, 0.0)
+        c_p = _shift_along(c, +s, axis, 0.0)
+        r_m = _shift_along(r, -s, axis, 0.0)
+        r_p = _shift_along(r, +s, axis, 0.0)
+        alpha = a / b_m
+        gamma = c / b_p
+        b = b - alpha * c_m - gamma * a_p
+        r = r - alpha * r_m - gamma * r_p
+        a = -alpha * a_m
+        c = -gamma * c_p
+    return r / b
+
+
+def _momentum_solve_adi(ss: StencilSystem, r_u, r_v, passes: int = 1,
+                        steps: int = 4):
+    """ADI line-relaxation momentum predict: alternate implicit tridiagonal
+    solves along x then y (truncated-PCR lines), treating the transverse
+    coupling explicitly.  Unlike the pointwise Jacobi predict — whose
+    contraction degrades as the diffusion coefficient grows ~1/h — line
+    relaxation solves each direction exactly, so its strength is
+    mesh-size-independent along lines (the classical ADI argument).
+    """
+    # Slot convention: off_mom[0]=E (couples to x+1), [1]=W, [2]=N (y+1),
+    # [3]=S.  x-lines: axis=1 (nx); y-lines: axis=0 (ny) of (ny, nx) grids.
+    cE, cW, cN, cS = (ss.off_mom[0], ss.off_mom[1], ss.off_mom[2],
+                      ss.off_mom[3])
+    b = 1.0 / ss.diag_u_inv2
+    z_u = jnp.zeros_like(r_u)
+    z_v = jnp.zeros_like(r_v)
+    for _ in range(passes):
+        # implicit in x, explicit in y
+        rhs_u = r_u - _dot4(ss.off_mom, _shifts2(z_u)) \
+            + cE * _shift_along(z_u, 1, 1, 0.0) \
+            + cW * _shift_along(z_u, -1, 1, 0.0)
+        rhs_v = r_v - _dot4(ss.off_mom, _shifts2(z_v)) \
+            + cE * _shift_along(z_v, 1, 1, 0.0) \
+            + cW * _shift_along(z_v, -1, 1, 0.0)
+        z_u = pcr_line_solve(cW, b, cE, rhs_u, axis=1, steps=steps)
+        z_v = pcr_line_solve(cW, b, cE, rhs_v, axis=1, steps=steps)
+        # implicit in y, explicit in x
+        rhs_u = r_u - cE * _shift_along(z_u, 1, 1, 0.0) \
+            - cW * _shift_along(z_u, -1, 1, 0.0)
+        rhs_v = r_v - cE * _shift_along(z_v, 1, 1, 0.0) \
+            - cW * _shift_along(z_v, -1, 1, 0.0)
+        z_u = pcr_line_solve(cS, b, cN, rhs_u, axis=0, steps=steps)
+        z_v = pcr_line_solve(cS, b, cN, rhs_v, axis=0, steps=steps)
+    return z_u, z_v
+
+
 def schur_precond_planar(ss: StencilSystem, r: jnp.ndarray, omega: float,
                          n_sweeps: int, pressure_solve=None,
                          mom_sweeps: int = 1,
-                         mom_rbgs: bool = False) -> jnp.ndarray:
+                         mom_rbgs: bool = False,
+                         mom_adi: int = 0) -> jnp.ndarray:
     """Schur preconditioner on (3, ny, nx) component planes (see
-    schur_precond)."""
+    schur_precond).  ``mom_adi`` > 0 replaces the Jacobi momentum predict
+    with that many ADI line-relaxation passes (_momentum_solve_adi)."""
     ru, rv, rp = r[0], r[1], r[2]
 
-    z_u, z_v = _momentum_solve(ss, ru, rv, mom_sweeps, rbgs=mom_rbgs)
+    if mom_adi > 0:
+        mom = lambda a, b: _momentum_solve_adi(ss, a, b, passes=mom_adi)
+    else:
+        mom = lambda a, b: _momentum_solve(ss, a, b, mom_sweeps,
+                                           rbgs=mom_rbgs)
+    z_u, z_v = mom(ru, rv)
 
     rhs_p = rp - ss.diag_pu2 * z_u - ss.diag_pv2 * z_v \
         - _dot4(ss.off_pu, _shifts2(z_u)) - _dot4(ss.off_pv, _shifts2(z_v))
@@ -258,7 +345,7 @@ def schur_precond_planar(ss: StencilSystem, r: jnp.ndarray, omega: float,
     sp = _shifts2(z_p)
     g_u = ss.diag_up2 * z_p + _dot4(ss.off_up, sp)
     g_v = ss.diag_vp2 * z_p + _dot4(ss.off_vp, sp)
-    gz_u, gz_v = _momentum_solve(ss, g_u, g_v, mom_sweeps, rbgs=mom_rbgs)
+    gz_u, gz_v = mom(g_u, g_v)
     z_u = z_u - gz_u
     z_v = z_v - gz_v
 
@@ -276,12 +363,18 @@ def from_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(3, -1).T
 
 
-def make_pressure_solve2(hier, ss: StencilSystem):
+def make_pressure_solve2(hier, ss: StencilSystem, n_cycles: int = 1):
     """Structured-multigrid pressure solve taking/returning (ny, nx) grids.
 
     Galerkin re-coarsening runs in 2D stencil form
     (amg.compute_structured_level_values2) — the segment_sum formulation cost
     ~74 ms per assembly at 1M cells; this is ~2 ms.
+
+    ``n_cycles``: V-cycles per application.  The piecewise-constant-transfer
+    cycle contracts smooth error at ~0.7-0.9/cycle at 1M cells, and the
+    outer loop's *first* solve (whose initial error is large and smooth)
+    dominates step cost — extra cycles square/cube the contraction for
+    ~18%/cycle more per-iteration bytes.
     """
     from .amg import (
         StructuredAmgHierarchy,
@@ -299,9 +392,11 @@ def make_pressure_solve2(hier, ss: StencilSystem):
         _GridOps(hier.levels[-1].grid).neighbor_cols())
 
     def pressure_solve(rhs_p2):
-        x0 = ss.diag_p_inv2 * rhs_p2
-        out = structured_v_cycle(hier, lv2, rhs_p2.reshape(-1),
-                                 x0.reshape(-1), coarse_factors=factors)
-        return out.reshape(ss.grid)
+        x = ss.diag_p_inv2 * rhs_p2
+        for _ in range(n_cycles):
+            x = structured_v_cycle(hier, lv2, rhs_p2.reshape(-1),
+                                   x.reshape(-1),
+                                   coarse_factors=factors).reshape(ss.grid)
+        return x
 
     return pressure_solve

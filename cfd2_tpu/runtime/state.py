@@ -138,6 +138,18 @@ class SolverConfig:
     # sizes where iteration cost is launch-bound, +24% end-to-end at 1M
     # where basis reads dominate).  0 = auto: 1 below 500k cells, 2 above.
     precond_mom_sweeps: int = 0
+    # > 0: replace the Jacobi momentum predict with N ADI line-relaxation
+    # passes (truncated-PCR tridiagonal solves along grid rows/columns,
+    # ops/stencil_system.py) — mesh-size-independent strength along lines.
+    # Structured stencil path only; measured head-to-head vs the Jacobi
+    # predict before changing defaults.
+    precond_mom_adi: int = 0
+    # V-cycles per Schur-preconditioner pressure solve (structured path).
+    # 0 = size-auto (see pressure_vcycles()); the first outer solve's large
+    # smooth pressure error converges slowly through one piecewise-constant
+    # V-cycle at >=1M cells, and extra cycles buy contraction^n for ~18%
+    # more bytes per Krylov iteration.
+    precond_vcycles: int = 0
 
     # Steady-state / degeneracy detection: coupled_solver.rs:501-580
     evolution_threshold: float = 1e-6
@@ -148,6 +160,11 @@ class SolverConfig:
         if self.pressure_iters > 0:
             return self.pressure_iters
         return int(min(20 + np.sqrt(num_cells) / 2.0, 200.0))
+
+    def pressure_vcycles(self, num_cells: int) -> int:
+        if self.precond_vcycles > 0:
+            return self.precond_vcycles
+        return 1
 
     def mom_sweeps(self, num_cells: int) -> int:
         # Measured (DESIGN.md §9b): FGMRES iterations at 1M drop 48/32/23/11
