@@ -50,11 +50,16 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         from ..ops.schur import block_jacobi_preconditioner
         precond = lambda r: block_jacobi_preconditioner(sys, r)
     else:
-        # Size-auto deep sweeps are measured on the stencil path; on the
-        # gather path each extra sweep costs two (N, K) gathers, so the
-        # auto stays at the reference's diagonal unless explicitly set.
-        ms = (config.precond_mom_sweeps if config.precond_mom_sweeps > 0
-              else 1)
+        # Size-auto deep sweeps: the banded Pallas gather made extra sweeps
+        # affordable on unstructured meshes too (each costs two cheap
+        # gathers); the XLA-gather fallback keeps the reference's bare
+        # diagonal.
+        if config.precond_mom_sweeps > 0:
+            ms = config.precond_mom_sweeps
+        elif mesh.bd_W is not None:
+            ms = config.mom_sweeps(mesh.num_cells)
+        else:
+            ms = 1
         precond = lambda r: schur_preconditioner(
             sys, mesh, r, config.precond_omega, n_sweeps,
             pressure_solve=pressure_solve, mom_sweeps=ms)

@@ -78,21 +78,26 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
     return lane, sel, base, W
 
 
-def _gather_kernel(W: int, K: int, base_ref, lane_ref, sel_ref, x_ref,
-                   o_ref):
+def _gather_kernel(W: int, K: int, C: int, base_ref, lane_ref, sel_ref,
+                   *refs):
     """One destination block: pull K slot values for 128 outputs from the
-    W candidate source rows starting at base[b].  ``base_ref`` is the whole
-    (NB,) SMEM array (TPU Mosaic rejects rank-1 size-1 SMEM blocks)."""
+    W candidate source rows starting at base[b], for C vector components
+    sharing one set of index planes (the dominant HBM traffic).
+    ``base_ref`` is the whole (NB,) SMEM array (TPU Mosaic rejects rank-1
+    size-1 SMEM blocks)."""
+    x_refs = refs[:C]
+    o_refs = refs[C:]
     b0 = base_ref[pl.program_id(0)]
     lanes = lane_ref[0]                       # (K, LANES)
     selv = sel_ref[0]
-    acc = jnp.zeros((K, LANES), jnp.float32)
-    for s in range(W):
-        src = x_ref[pl.ds(b0 + s, 1), :]      # (1, LANES)
-        srcb = jnp.broadcast_to(src, (K, LANES))
-        g = jnp.take_along_axis(srcb, lanes, axis=1)
-        acc = acc + jnp.where(selv == s, g, 0.0)
-    o_ref[0] = acc
+    for c in range(C):
+        acc = jnp.zeros((K, LANES), jnp.float32)
+        for s in range(W):
+            src = x_refs[c][pl.ds(b0 + s, 1), :]      # (1, LANES)
+            srcb = jnp.broadcast_to(src, (K, LANES))
+            g = jnp.take_along_axis(srcb, lanes, axis=1)
+            acc = acc + jnp.where(selv == s, g, 0.0)
+        o_refs[c][0] = acc
 
 
 def _interpret() -> bool:
@@ -100,34 +105,36 @@ def _interpret() -> bool:
 
 
 @partial(jax.jit, static_argnames=("W",))
-def _banded_gather_raw(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
-                       base: jnp.ndarray, W: int) -> jnp.ndarray:
-    """x (n_src,) -> (NB, K, 128) slot values (padded rows gather x[0])."""
+def _banded_gather_raw(xs, lane: jnp.ndarray, sel: jnp.ndarray,
+                       base: jnp.ndarray, W: int):
+    """xs: tuple of (n_src,) components -> tuple of (NB, K, 128) slot values
+    (padded rows gather x[0]); one kernel call, index planes read once."""
     NB, K, _ = lane.shape
     if K == 1:
         # Single-slot maps (prolongation): K=1 take_along_axis lowers to a
         # gather form Mosaic rejects; run with a duplicated slot and slice.
         lane = jnp.concatenate([lane, lane], axis=1)
         sel = jnp.concatenate([sel, sel], axis=1)
-        return _banded_gather_raw(x, lane, sel, base, W)[:, :1]
-    n_src = x.shape[0]
+        return tuple(o[:, :1]
+                     for o in _banded_gather_raw(xs, lane, sel, base, W))
+    C = len(xs)
+    n_src = xs[0].shape[0]
     n_rows = (n_src + LANES - 1) // LANES
     pad = n_rows * LANES - n_src
-    xr = jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(n_rows, LANES)
-    return pl.pallas_call(
-        partial(_gather_kernel, W, K),
+    xrs = [jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(n_rows, LANES)
+           for x in xs]
+    blk = pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_gather_kernel, W, K, C),
         grid=(NB,),
-        out_shape=jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-                  pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
+        out_shape=[jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32)] * C,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * C,
+        out_specs=[blk] * C,
         interpret=_interpret(),
-    )(base, lane, sel, xr)
+    )(base, lane, sel, *xrs)
+    return tuple(out) if isinstance(out, (tuple, list)) else (out,)
 
 
 def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
@@ -135,16 +142,19 @@ def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
                      m_out: int | None = None) -> jnp.ndarray:
     """(M, K) gathered values (API-compatible with DeviceMesh.gather).
 
-    Tail dims (x of shape (n_src, C)) are handled per component.
-    ``m_out``: un-padded output row count (default NB*128).
+    Tail dims (x of shape (n_src, C)) run as one multi-component kernel
+    call sharing the index-plane reads.  ``m_out``: un-padded output row
+    count (default NB*128).
     """
-    if x.ndim == 2:
-        cols = [banded_gather_nk(x[:, c], lane, sel, base, W, m_out)
-                for c in range(x.shape[1])]
-        return jnp.stack(cols, axis=2)
     NB, K, _ = lane.shape
-    raw = _banded_gather_raw(x, lane, sel, base, W)    # (NB, K, 128)
-    out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
+    if x.ndim == 2:
+        raws = _banded_gather_raw(tuple(x[:, c] for c in range(x.shape[1])),
+                                  lane, sel, base, W)
+        cols = [jnp.moveaxis(r, 1, 2).reshape(NB * LANES, K) for r in raws]
+        out = jnp.stack(cols, axis=2).astype(x.dtype)
+    else:
+        (raw,) = _banded_gather_raw((x,), lane, sel, base, W)
+        out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
     if m_out is not None and m_out != NB * LANES:
         out = out[:m_out]
     return out

@@ -14,7 +14,9 @@ geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
 mesh = generate_cut_cell_mesh(geo, cell, cell, 1.2, (3.0, 1.0))
 s = CoupledSolver(mesh)
 s.set_dt(min(0.002, 0.4 * cell)); s.set_viscosity(0.01); s.set_precond_type(1)
-s.config = replace(s.config, fgmres_max_restarts=5)
+s.config = replace(s.config, fgmres_max_restarts=5,
+                   extrapolate_guess=os.environ.get("IT_EXTRAP") == "1",
+                   fgmres_incycle_window=int(os.environ.get("IT_INCYCLE", "0")))
 u0 = np.zeros((mesh.num_cells, 2)); u0[mesh.cell_cx < 2*cell, 0] = 1.0
 s.set_u(u0)
 for i in range(int(os.environ.get("IT_STEPS", "3"))):
