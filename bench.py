@@ -113,6 +113,10 @@ def run_bench(min_cell=None):
                     precond_mom_adi=int(os.environ.get("BENCH_MOM_ADI", "0")),
                     fgmres_incycle_window=int(os.environ.get(
                         "BENCH_INCYCLE", "0")),
+                    fgmres_mixed_phase=os.environ.get(
+                        "BENCH_MIXED", "0") == "1",
+                    extrapolate_guess=os.environ.get(
+                        "BENCH_EXTRAP", "0") == "1",
                     adaptive_linear_tol=os.environ.get(
                         "BENCH_ADAPTIVE", "0") == "1")
     u0 = np.zeros((n, 2))

@@ -131,19 +131,55 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
                 mom_adi=config.precond_mom_adi)
         x0 = (x_guess if x_guess is not None else
               jnp.concatenate([state.u, state.p[:, None]], axis=1))
-        result = fgmres_solve(
-            matvec, precond, st.to_planar(ss, ss.rhs),
-            st.to_planar(ss, x0),
-            restart=config.fgmres_restart,
-            max_restarts=config.fgmres_max_restarts,
-            tol=config.fgmres_tol if tol is None else tol,
-            abstol=config.fgmres_abstol,
-            stagnation_tol=config.fgmres_stagnation_tol,
-            stagnation_limit=config.fgmres_stagnation_limit,
-            basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
-            f64_norms=config.fgmres_f64_norms,
-            incycle_window=config.fgmres_incycle_window,
-            incycle_tol=config.fgmres_incycle_tol)
+
+        def _run(x0v, tol_v, abstol_v, bf16):
+            if bf16:
+                ss16 = st.cast_coeffs(ss, jnp.bfloat16)
+                pcv = lambda r: st.schur_precond_planar(
+                    ss16, r.astype(jnp.bfloat16), config.precond_omega,
+                    n_sweeps,
+                    pressure_solve=lambda rhs: (
+                        ps(rhs.astype(jnp.float32)).astype(jnp.bfloat16)
+                        if ps is not None else
+                        st.chebyshev_pressure_solve2(
+                            ss, rhs.astype(jnp.float32),
+                            config.precond_omega, n_sweeps)
+                        .astype(jnp.bfloat16)),
+                    mom_sweeps=config.mom_sweeps(mesh.num_cells),
+                    mom_adi=config.precond_mom_adi).astype(jnp.float32)
+            else:
+                pcv = precond
+            return fgmres_solve(
+                matvec, pcv, st.to_planar(ss, ss.rhs), x0v,
+                restart=config.fgmres_restart,
+                max_restarts=config.fgmres_max_restarts,
+                tol=tol_v, abstol=abstol_v,
+                stagnation_tol=config.fgmres_stagnation_tol,
+                stagnation_limit=config.fgmres_stagnation_limit,
+                basis_dtype=jnp.bfloat16 if bf16 or config.fgmres_basis_bf16
+                else None,
+                f64_norms=config.fgmres_f64_norms,
+                incycle_window=config.fgmres_incycle_window,
+                incycle_tol=config.fgmres_incycle_tol)
+
+        tol_eff = config.fgmres_tol if tol is None else tol
+        if config.fgmres_mixed_phase:
+            # Coarse phase: bf16 basis + bf16 preconditioner down to ~1e-3
+            # relative (22% cheaper per iteration; the bf16 orthogonality
+            # floor only binds below that), then finish in f32 from the
+            # phase-1 iterate.  The phase boundary is just an extra restart
+            # (FGMRES restarts every `restart` iterations anyway), and the
+            # f32 phase re-derives its own true residual, so the final
+            # tolerance contract is untouched.
+            r1 = _run(st.to_planar(ss, x0),
+                      jnp.maximum(jnp.asarray(tol_eff, jnp.float32) * 30.0,
+                                  1e-3),
+                      config.fgmres_abstol * 100.0, True)
+            r2 = _run(r1.x, tol_eff, config.fgmres_abstol, False)
+            result = replace(r2, iterations=r1.iterations + r2.iterations)
+        else:
+            result = _run(st.to_planar(ss, x0), tol_eff,
+                          config.fgmres_abstol, False)
         return replace(result, x=st.from_planar(ss, result.x))
 
     sys = assemble_coupled(mesh, state, params, config)

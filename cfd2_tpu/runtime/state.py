@@ -118,6 +118,12 @@ class SolverConfig:
     # parity).
     fgmres_incycle_window: int = 0
     fgmres_incycle_tol: float = 0.02
+    # Two-phase mixed-precision solve (structured path): bf16 basis +
+    # preconditioner down to ~1e-3 relative, then f32 to the full tolerance
+    # from the phase-1 iterate.  Same final contract (the f32 phase derives
+    # its own true residual); saves ~20% of the dominant first-outer solve's
+    # bytes.  Off by default pending measurement.
+    fgmres_mixed_phase: bool = False
     # Inexact-Newton forcing: early outer iterations solve to a looser
     # relative tolerance (10^-(3+it) floored at fgmres_tol).  This paid
     # ~28% when the preconditioner was weak (round 1: first solves burned

@@ -162,3 +162,32 @@ class TestPlateauGate:
         dp = [1e-2 * 0.5 ** min(i, 5) for i in range(12)]
         fired = self._drive(du, dp)
         assert fired is not None and fired >= 5
+
+
+def test_mixed_phase_solver_matches_f32():
+    """fgmres_mixed_phase: bf16 coarse phase + f32 finish must land on the
+    same fields as the single-phase solve (same tolerance contract)."""
+    import numpy as np
+    from dataclasses import replace
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    outs = {}
+    for tag, mp in (("f32", False), ("mixed", True)):
+        s = CoupledSolver(mesh)
+        s.set_dt(0.01)
+        s.set_precond_type(1)
+        s.config = replace(s.config, fgmres_mixed_phase=mp)
+        u0 = np.zeros((mesh.num_cells, 2))
+        u0[mesh.cell_cx < 0.1, 0] = 1.0
+        s.set_u(u0)
+        for _ in range(3):
+            s.step()
+        outs[tag] = (s.get_u(), s.get_p())
+    du = np.abs(outs["f32"][0] - outs["mixed"][0]).max()
+    dp = np.abs(outs["f32"][1] - outs["mixed"][1]).max()
+    scale = np.abs(outs["f32"][0]).max()
+    assert du < 5e-3 * scale and np.isfinite(dp)
+    assert dp < 5e-2 * max(np.abs(outs["f32"][1]).max(), 1e-6)
