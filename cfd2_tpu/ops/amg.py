@@ -259,7 +259,15 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
                     jnp.asarray(base)), w
 
         bme, we = _bm(coarse_ngh, nc)
-        bmm, wm = _bm(members, n)
+        # Masked member entries hold index 0; point them at the row's first
+        # real member — forward-filled for empty aggregates — so they don't
+        # stretch the banded window to row 0.
+        first = np.where(members_mask[:, 0] > 0, members[:, 0], -1)
+        ffi = np.where(first >= 0, np.arange(nc), 0)
+        np.maximum.accumulate(ffi, out=ffi)
+        first = np.maximum(first[ffi], 0)
+        members_safe = np.where(members_mask > 0, members, first[:, None])
+        bmm, wm = _bm(members_safe, n)
         bma, wa = _bm(agg[:, None], nc)
 
         levels.append(AmgLevel(

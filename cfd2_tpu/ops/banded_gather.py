@@ -58,8 +58,12 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
     NB = (M + LANES - 1) // LANES
     Mp = NB * LANES
     if Mp != M:
+        # Pad with an index NEAR the last real rows' sources (not 0): the
+        # window of the final block must not be stretched across the whole
+        # operand by the padding.
+        fill = idx[M - 1, 0]
         idx = np.concatenate(
-            [idx, np.zeros((Mp - M, K), np.int64)], axis=0)
+            [idx, np.full((Mp - M, K), fill, np.int64)], axis=0)
     n_rows = (n_src + LANES - 1) // LANES
 
     sb = (idx // LANES).reshape(NB, LANES, K)
