@@ -455,3 +455,24 @@ def assemble_stencil(mesh: DeviceMesh, state: SolverState,
         diag_p_inv2=d2(_safe_inv(c["P_diag"])),
         rhs=c["rhs"],
     )
+
+
+def assemble_ell(mesh: DeviceMesh, state: SolverState,
+                 params: SolverParams, config: SolverConfig):
+    """Assemble the coupled system in scalar-coefficient ELL form for the
+    banded (unstructured) path (ops/ellsys.py) — the unstructured twin of
+    assemble_stencil: no (N, K, 3, 3) block materialization."""
+    from ..ops.ellsys import EllSystem
+
+    c = _assemble_parts(mesh, state, params, config)
+    return EllSystem(
+        off_mom=c["off_mom"], off_up=c["off_up"], off_vp=c["off_vp"],
+        off_pu=c["off_pu"], off_pv=c["off_pv"], off_pp=c["off_pp"],
+        P_off=c["P_off"],
+        diag_u=c["diag_u"], diag_up=c["diag_up"], diag_vp=c["diag_vp"],
+        diag_pu=c["diag_pu"], diag_pv=c["diag_pv"], diag_pp=c["diag_pp"],
+        P_diag=c["P_diag"],
+        diag_u_inv=_safe_inv(c["diag_u"]),
+        diag_p_inv=_safe_inv(c["P_diag"]),
+        rhs=c["rhs"],
+    )

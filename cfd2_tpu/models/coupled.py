@@ -182,6 +182,43 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
                           config.fgmres_abstol, False)
         return replace(result, x=st.from_planar(ss, result.x))
 
+    if mesh.bd_W is not None and config.precond_type != PRECOND_BLOCK_JACOBI:
+        # Banded (unstructured) path: scalar-coefficient system + banded
+        # Pallas gathers (ops/ellsys.py) — skips the (N, K, 3, 3) block
+        # materialization whose tile-padded minor dims cost ~10x the useful
+        # bytes per SpMV.
+        from ..ops import ellsys as el
+        from .assembly import assemble_ell
+        es = assemble_ell(mesh, state, params, config)
+        if config.precond_type == PRECOND_AMG and amg is not None:
+            from ..ops.amg import make_pressure_solve
+            ps = make_pressure_solve(amg, mesh, es,
+                                     coeff=params.density * state.d_p)
+        else:
+            ps = None
+        # Momentum depth 4: measured best bracket on the banded path at
+        # 145k cells (m1 solve 238 ms/48 iters, m8 308 ms/24 iters — each
+        # extra sweep costs a gather pair, unlike the fused stencil sweeps).
+        ms = (config.precond_mom_sweeps if config.precond_mom_sweeps > 0
+              else 4)
+        precond = lambda r: el.schur_precond(
+            es, mesh, r, config.precond_omega, n_sweeps,
+            pressure_solve=ps, mom_sweeps=ms)
+        x0 = (x_guess if x_guess is not None else
+              jnp.concatenate([state.u, state.p[:, None]], axis=1))
+        return fgmres_solve(
+            lambda x: el.spmv(es, mesh, x), precond, es.rhs, x0,
+            restart=config.fgmres_restart,
+            max_restarts=config.fgmres_max_restarts,
+            tol=config.fgmres_tol if tol is None else tol,
+            abstol=config.fgmres_abstol,
+            stagnation_tol=config.fgmres_stagnation_tol,
+            stagnation_limit=config.fgmres_stagnation_limit,
+            basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
+            f64_norms=config.fgmres_f64_norms,
+            incycle_window=config.fgmres_incycle_window,
+            incycle_tol=config.fgmres_incycle_tol)
+
     sys = assemble_coupled(mesh, state, params, config)
     if config.precond_type == PRECOND_AMG and amg is not None:
         from ..ops.amg import make_pressure_solve

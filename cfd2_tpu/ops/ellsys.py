@@ -1,0 +1,122 @@
+"""Scalar-coefficient coupled system for the banded (unstructured) path.
+
+The block-ELL container stores the coupled system as (N, K, 3, 3) blocks;
+only 6 of the 9 entries are structurally nonzero, and the 3x3 minor dims
+tile-pad on TPU, so the block SpMV reads ~10x the useful bytes (measured
+1.27 ms at 145k cells vs ~0.1 ms of real traffic).  This container keeps
+the per-slot scalar coefficient arrays the assembly already produces
+(models/assembly.py:_assemble_parts) — the unstructured twin of
+ops/stencil_system.py:
+
+    [ A_uu   0     G_u ]   off_mom, off_up
+    [ 0      A_vv  G_v ]   off_mom, off_vp
+    [ D_u    D_v   C   ]   off_pu, off_pv, off_pp
+
+Neighbor access goes through ``mesh.gather`` (the banded Pallas kernel);
+the multi-component form gathers u, v, p in one kernel call sharing the
+index-plane reads.  Duck-types ``P_diag``/``P_off``/``diag_p_inv`` so
+ops/amg.make_pressure_solve works unchanged.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class EllSystem:
+    # (N, K) per-slot off-diagonal coefficients
+    off_mom: jnp.ndarray
+    off_up: jnp.ndarray
+    off_vp: jnp.ndarray
+    off_pu: jnp.ndarray
+    off_pv: jnp.ndarray
+    off_pp: jnp.ndarray
+    P_off: jnp.ndarray
+    # (N,) diagonals
+    diag_u: jnp.ndarray
+    diag_up: jnp.ndarray
+    diag_vp: jnp.ndarray
+    diag_pu: jnp.ndarray
+    diag_pv: jnp.ndarray
+    diag_pp: jnp.ndarray
+    P_diag: jnp.ndarray
+    diag_u_inv: jnp.ndarray
+    diag_p_inv: jnp.ndarray
+    rhs: jnp.ndarray             # (N, 3)
+
+
+def _dotK(off, g):
+    return jnp.sum(off * g, axis=1)
+
+
+def spmv(es: EllSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A x, x (N, 3); one multi-component gather for u/v/p."""
+    g = mesh.gather(x)                    # (N, K, 3)
+    xu, xv, xp = x[:, 0], x[:, 1], x[:, 2]
+    gu, gv, gp = g[..., 0], g[..., 1], g[..., 2]
+    yu = es.diag_u * xu + es.diag_up * xp \
+        + _dotK(es.off_mom, gu) + _dotK(es.off_up, gp)
+    yv = es.diag_u * xv + es.diag_vp * xp \
+        + _dotK(es.off_mom, gv) + _dotK(es.off_vp, gp)
+    yp = es.diag_pu * xu + es.diag_pv * xv + es.diag_pp * xp \
+        + _dotK(es.off_pu, gu) + _dotK(es.off_pv, gv) + _dotK(es.off_pp, gp)
+    return jnp.stack([yu, yv, yp], axis=1)
+
+
+def _momentum_solve(es: EllSystem, mesh, r_u, r_v, sweeps: int):
+    """Jacobi momentum predict (see stencil_system._momentum_solve); u and v
+    share one gather per sweep."""
+    z_u = es.diag_u_inv * r_u
+    z_v = es.diag_u_inv * r_v
+    for _ in range(sweeps - 1):
+        g = mesh.gather(jnp.stack([z_u, z_v], axis=1))    # (N, K, 2)
+        z_u = es.diag_u_inv * (r_u - _dotK(es.off_mom, g[..., 0]))
+        z_v = es.diag_u_inv * (r_v - _dotK(es.off_mom, g[..., 1]))
+    return z_u, z_v
+
+
+def chebyshev_pressure_solve(es: EllSystem, mesh, rhs_p, omega: float,
+                             n_sweeps: int):
+    from jax import lax
+
+    x0 = es.diag_p_inv * rhs_p
+    x_prev = jnp.zeros_like(rhs_p)
+
+    def sweep(_, carry):
+        x_prev, x_cur = carry
+        sigma = _dotK(es.P_off, mesh.gather(x_cur))
+        hat = es.diag_p_inv * (rhs_p - sigma)
+        return (x_cur, x_prev + omega * (hat - x_prev))
+
+    _, x = lax.fori_loop(0, n_sweeps, sweep, (x_prev, x0))
+    return x
+
+
+def schur_precond(es: EllSystem, mesh, r: jnp.ndarray, omega: float,
+                  n_sweeps: int, pressure_solve=None,
+                  mom_sweeps: int = 1) -> jnp.ndarray:
+    """SIMPLE/Schur preconditioner M^{-1} r (reference schur_precond.wgsl),
+    scalar-coefficient form."""
+    r_u, r_v, r_p = r[:, 0], r[:, 1], r[:, 2]
+
+    z_u, z_v = _momentum_solve(es, mesh, r_u, r_v, mom_sweeps)
+
+    g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
+    rhs_p = r_p - es.diag_pu * z_u - es.diag_pv * z_v \
+        - _dotK(es.off_pu, g[..., 0]) - _dotK(es.off_pv, g[..., 1])
+
+    if pressure_solve is None:
+        z_p = chebyshev_pressure_solve(es, mesh, rhs_p, omega, n_sweeps)
+    else:
+        z_p = pressure_solve(rhs_p)
+
+    gp = mesh.gather(z_p)
+    g_u = es.diag_up * z_p + _dotK(es.off_up, gp)
+    g_v = es.diag_vp * z_p + _dotK(es.off_vp, gp)
+    gz_u, gz_v = _momentum_solve(es, mesh, g_u, g_v, mom_sweeps)
+    return jnp.stack([z_u - gz_u, z_v - gz_v, z_p], axis=1)

@@ -37,3 +37,40 @@ def test_solver_on_unstructured_mesh(gen):
     assert np.isfinite(u).all()
     assert np.isfinite(p).all()
     assert np.abs(u).max() < 100.0
+
+
+def test_ellsys_matches_blockell():
+    """The banded path's scalar-coefficient system (ops/ellsys.py) must
+    reproduce the block-ELL operator and Schur preconditioner exactly."""
+    import jax.numpy as jnp
+    import numpy as np
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_delaunay_mesh
+    from cfd2_tpu.models.assembly import (assemble_coupled, assemble_ell,
+                                          prepare)
+    from cfd2_tpu.models.coupled import CoupledSolver
+    from cfd2_tpu.ops import ellsys as el
+    from cfd2_tpu.ops.blockell import block_spmv
+    from cfd2_tpu.ops.schur import schur_preconditioner
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_delaunay_mesh(geo, 0.06, 0.06, 1.2, (3.0, 1.0), seed=3)
+    s = CoupledSolver(mesh)
+    s.set_dt(0.01)
+    rng = np.random.default_rng(0)
+    u0 = rng.standard_normal((mesh.num_cells, 2)) * 0.1
+    s.set_u(u0)
+    state = prepare(s.mesh, s.state, s.params, s.config)
+    sysb = assemble_coupled(s.mesh, state, s.params, s.config)
+    es = assemble_ell(s.mesh, state, s.params, s.config)
+
+    x = jnp.asarray(rng.standard_normal((s.mesh.num_cells, 3)), jnp.float32)
+    y_block = np.asarray(block_spmv(sysb, s.mesh, x))
+    y_ell = np.asarray(el.spmv(es, s.mesh, x))
+    np.testing.assert_allclose(y_ell, y_block, rtol=1e-6, atol=1e-6)
+
+    z_block = np.asarray(schur_preconditioner(
+        sysb, s.mesh, x, 1.2, 8, mom_sweeps=3))
+    z_ell = np.asarray(el.schur_precond(es, s.mesh, x, 1.2, 8, mom_sweeps=3))
+    np.testing.assert_allclose(z_ell, z_block, rtol=2e-5, atol=2e-5)
+
+    np.testing.assert_allclose(np.asarray(es.rhs), np.asarray(sysb.rhs))
