@@ -77,7 +77,7 @@ def perturb_wake(s):
     cx = np.asarray(s.mesh.c_cx)
     cy = np.asarray(s.mesh.c_cy)
     bump = 0.15 * np.exp(-((cx - 1.35) ** 2 + (cy - 0.55) ** 2) / 0.12 ** 2)
-    u = np.asarray(s.state.u)
+    u = np.array(s.state.u)
     u[:, 1] += bump * (np.asarray(s.mesh.c_valid) > 0)
     uj = jnp.asarray(u, jnp.float32)
     s.state = replace(s.state, u=uj, u_old=uj, u_old_old=uj, prev_u=uj)
