@@ -58,6 +58,9 @@ class DeviceMesh:
     # count; None when the mesh is structured/multilevel or the band is too
     # wide.
     bd_W: int | None
+    # Two-window banded gather for the multilevel layout (same-level band +
+    # cross-level band per block); None when unavailable.
+    bd2_W: int | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -114,6 +117,9 @@ class DeviceMesh:
     bd_lane: jnp.ndarray | None = None
     bd_sel: jnp.ndarray | None = None
     bd_base: jnp.ndarray | None = None
+    bd2_lane: jnp.ndarray | None = None
+    bd2_sel: jnp.ndarray | None = None
+    bd2_bases: jnp.ndarray | None = None
 
     # Multilevel: (cell, slot) entry pairs of internal faces NOT resolved by
     # the W/S mirror shift (cross-level/hanging + extra-slot faces).  The
@@ -134,6 +140,7 @@ class DeviceMesh:
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
         "ml_exc_cell", "ml_exc_slot", "ml_exc_src", "ck_mirror",
         "bd_lane", "bd_sel", "bd_base",
+        "bd2_lane", "bd2_sel", "bd2_bases",
         "ml_pair_cell_a", "ml_pair_slot_a", "ml_pair_cell_b",
         "ml_pair_slot_b",
     )
@@ -142,7 +149,7 @@ class DeviceMesh:
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
                self.num_host_cells, self.grid_shape, self.ml_levels,
-               self.bd_W)
+               self.bd_W, self.bd2_W)
         return children, aux
 
     @classmethod
@@ -194,6 +201,14 @@ class DeviceMesh:
             out = jnp.stack(slots, axis=2)              # (ny, nx, K, ...)
             return out.reshape((ny * nx, K) + tail)
         if self.multilevel:
+            if self.bd2_W is not None:
+                # Two-window banded kernel: one pass covers same-level AND
+                # cross-level neighbors (the gather+scatter exception
+                # override measured ~6x the whole step cost at 80k cells).
+                from ..ops.banded_gather import banded_gather2_nk
+                return banded_gather2_nk(
+                    x, self.bd2_lane, self.bd2_sel, self.bd2_bases,
+                    self.bd2_W, m_out=self.num_cells)
             parts = []
             for (ny, nx), off in zip(self.ml_levels, self.ml_offsets):
                 xg = x[off:off + ny * nx].reshape((ny, nx) + tail)
@@ -624,6 +639,8 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     # Banded gather metadata (generic RCM layout only).
     bd_lane = bd_sel = bd_base = None
     bd_W = None
+    bd2 = (None,) * 3
+    bd2_W = None
     if grid_shape is None and ml is None and N_dev % 128 == 0:
         from ..ops.banded_gather import build_banded_map
         bl = build_banded_map(ck_neighbor, N_dev)
@@ -632,6 +649,14 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
             bd_lane = jnp.asarray(lane_a, jnp.int32)
             bd_sel = jnp.asarray(sel_a, jnp.int32)
             bd_base = jnp.asarray(base_a, jnp.int32)
+    elif ml is not None:
+        from ..ops.banded_gather import build_banded_map2
+        bl2 = build_banded_map2(ck_neighbor, N_dev)
+        if bl2 is not None:
+            lane_a, sel_a, bases_a, bd2_W = bl2
+            bd2 = (jnp.asarray(lane_a, jnp.int32),
+                   jnp.asarray(sel_a, jnp.int32),
+                   jnp.asarray(bases_a, jnp.int32))
 
     mask = np.zeros((N_dev, K))
     mask[e_dev, e_slot] = 1.0
@@ -652,8 +677,9 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
 
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
-        grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W,
+        grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W, bd2_W=bd2_W,
         bd_lane=bd_lane, bd_sel=bd_sel, bd_base=bd_base,
+        bd2_lane=bd2[0], bd2_sel=bd2[1], bd2_bases=bd2[2],
         ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
         ml_exc_slot=None if ml_exc_slot is None else as_i(ml_exc_slot),
         ml_exc_src=None if ml_exc_src is None else as_i(ml_exc_src),

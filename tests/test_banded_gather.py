@@ -68,3 +68,73 @@ def test_tail_dims():
         x, jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(base), W,
         m_out=N))
     np.testing.assert_array_equal(out, np.asarray(x)[idx])
+
+
+# ---------------------------------------------------------------------------
+# Two-window (multilevel) variant
+
+
+def _check2(idx, n_src, rng, n_windows=3):
+    from cfd2_tpu.ops.banded_gather import (banded_gather2_nk,
+                                            build_banded_map2)
+    bm = build_banded_map2(idx, n_src, n_windows=n_windows)
+    assert bm is not None
+    lane, sel, bases, W = bm
+    x = jnp.asarray(rng.standard_normal(n_src), jnp.float32)
+    out = np.asarray(banded_gather2_nk(
+        x, jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(bases), W,
+        m_out=idx.shape[0]))
+    np.testing.assert_array_equal(out, np.asarray(x)[idx])
+    return W
+
+
+def test_two_window_disjoint_bands():
+    """Multilevel-style map: each block reads its own band plus a far
+    second band (the parent level), far beyond single-window w_max."""
+    rng = np.random.default_rng(5)
+    N, K = 8192, 4
+    base = np.arange(N)[:, None]
+    own = np.clip(base + rng.integers(-64, 65, (N, K - 1)), 0, N - 1)
+    far = np.clip(N - 1 - base // 2 + rng.integers(-64, 65, (N, 1)),
+                  0, N - 1)
+    idx = np.concatenate([own, far], axis=1)
+    from cfd2_tpu.ops.banded_gather import build_banded_map
+    assert build_banded_map(idx, N, w_max=8) is None   # 1-window fails
+    _check2(idx, N, rng)
+
+
+def test_two_window_three_clusters():
+    """Three refinement levels: own band + finer band + coarser band."""
+    rng = np.random.default_rng(6)
+    N, K = 896, 5                        # pads to 1024
+    base = np.arange(N)[:, None]
+    c1 = np.clip(base + rng.integers(-50, 51, (N, 2)), 0, N - 1)
+    c2 = np.clip(N // 3 + base // 4 + rng.integers(-50, 51, (N, 2)),
+                 0, N - 1)
+    c3 = np.clip(2 * N // 3 + base // 8 + rng.integers(-50, 51, (N, 1)),
+                 0, N - 1)
+    idx = np.concatenate([c1, c2, c3], axis=1)
+    _check2(idx, N, rng)
+
+
+def test_two_window_tail_dims():
+    rng = np.random.default_rng(7)
+    N, K = 512, 3
+    idx = np.clip(np.arange(N)[:, None]
+                  + rng.integers(-80, 81, (N, K)), 0, N - 1)
+    from cfd2_tpu.ops.banded_gather import (banded_gather2_nk,
+                                            build_banded_map2)
+    lane, sel, bases, W = build_banded_map2(idx, N)
+    x = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+    out = np.asarray(banded_gather2_nk(
+        x, jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(bases), W,
+        m_out=N))
+    np.testing.assert_array_equal(out, np.asarray(x)[idx])
+
+
+def test_two_window_span_limit_returns_none():
+    from cfd2_tpu.ops.banded_gather import build_banded_map2
+    rng = np.random.default_rng(8)
+    N = 1024
+    idx = rng.integers(0, N, (N, 4))
+    assert build_banded_map2(idx, N, w_max=4) is None
