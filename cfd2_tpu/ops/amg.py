@@ -248,10 +248,16 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         members_mask[agg[order], within] = 1.0
 
         # Banded-gather maps (None when a band is too wide; see class doc).
-        from .banded_gather import build_banded_map
+        from .banded_gather import build_banded_map, build_banded_map2
 
         def _bm(idx, n_src):
             r = build_banded_map(np.asarray(idx), n_src)
+            if r is None:
+                # Multi-window fallback: multilevel meshes' aggregate /
+                # adjacency maps cluster into one narrow band per
+                # refinement level (the unified kernel takes (NB, NW)
+                # bases transparently).
+                r = build_banded_map2(np.asarray(idx), n_src)
             if r is None:
                 return None, None
             lane, sel, base, w = r
@@ -812,14 +818,14 @@ def compute_level_values(hier: AmgHierarchy, P_diag: jnp.ndarray,
     return vals
 
 
-def _ell_spmv(diag, off, gather, x):
-    return diag * x + jnp.sum(off * gather(x), axis=1)
+def _ell_spmv(diag, off, dot, x):
+    return diag * x + dot(off, x)
 
 
-def _smooth(diag, off, gather, x, b, sweeps=1):
+def _smooth(diag, off, dot, x, b, sweeps=1):
     dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 0.0)
     for _ in range(sweeps):
-        x = x + _OMEGA * dinv * (b - _ell_spmv(diag, off, gather, x))
+        x = x + _OMEGA * dinv * (b - _ell_spmv(diag, off, dot, x))
     return x
 
 
@@ -828,19 +834,32 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
             coarse_factors=None) -> jnp.ndarray:
     """One V-cycle; level structure is static so the cycle fully unrolls.
 
-    Level 0 uses ``mesh.gather`` (stencil shifts on structured meshes);
-    coarse levels are small and use plain gathers over their ELL adjacency.
+    Per-level neighbor sums go through fused banded dots where a banded map
+    exists (ops/banded_gather.banded_dot: the (n, k) gathered values never
+    touch HBM); level 0 on structured meshes keeps ``mesh.gather`` stencil
+    shifts (XLA fuses the dot into the shifts), and unbanded coarse levels
+    use plain XLA gathers.
     """
-    from .banded_gather import banded_gather_nk
+    from .banded_gather import banded_dot, banded_gather_nk
 
-    def _ell_gather(lvl):
+    def _bm_dot(bm, w, m_out):
+        return lambda off, x: banded_dot(
+            (x,), (off,), *bm, w, (((0, 0),),), m_out=m_out)[0]
+
+    def _ell_dot(lvl):
         if lvl.bm_ell is not None:
-            return lambda x: banded_gather_nk(x, *lvl.bm_ell, lvl.w_ell,
-                                              m_out=lvl.n)
-        return lambda x: x[lvl.ell_neighbor]
+            return _bm_dot(lvl.bm_ell, lvl.w_ell, lvl.n)
+        return lambda off, x: jnp.sum(off * x[lvl.ell_neighbor], axis=1)
+
+    if mesh.banded:
+        def _dot0(off, x):
+            return mesh.banded_dot((x,), (off,), (((0, 0),),))[0]
+    else:
+        def _dot0(off, x):
+            return jnp.sum(off * mesh.gather(x), axis=1)
 
     L = len(hier.levels)
-    gathers = [mesh.gather] + [_ell_gather(lvl) for lvl in hier.levels]
+    dots = [_dot0] + [_ell_dot(lvl) for lvl in hier.levels]
 
     xs = [x0]
     bs = [b0]
@@ -848,14 +867,13 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     for i in range(L):
         diag, off = level_values[i]
         lvl = hier.levels[i]
-        x = _smooth(diag, off, gathers[i], xs[i], bs[i])
-        r = bs[i] - _ell_spmv(diag, off, gathers[i], x)
+        x = _smooth(diag, off, dots[i], xs[i], bs[i])
+        r = bs[i] - _ell_spmv(diag, off, dots[i], x)
         if lvl.bm_members is not None:
-            rm = banded_gather_nk(r, *lvl.bm_members, lvl.w_members,
-                                  m_out=lvl.n)
+            b_c = _bm_dot(lvl.bm_members, lvl.w_members, lvl.n)(
+                lvl.members_mask, r)
         else:
-            rm = r[lvl.members]
-        b_c = jnp.sum(rm * lvl.members_mask, axis=1)
+            b_c = jnp.sum(r[lvl.members] * lvl.members_mask, axis=1)
         xs[i] = x
         bs.append(b_c)
         xs.append(jnp.zeros((lvl.n,), x.dtype))
@@ -878,7 +896,7 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
         else:
             prol = xs[i + 1][lvl.agg]
         x = xs[i] + prol
-        xs[i] = _smooth(diag, off, gathers[i], x, bs[i])
+        xs[i] = _smooth(diag, off, dots[i], x, bs[i])
 
     return xs[0]
 

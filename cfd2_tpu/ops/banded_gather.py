@@ -1,5 +1,5 @@
-"""Banded gather for unstructured meshes — the TPU-native fix for the
-generic gather path.
+"""Banded gather / SpMV for unstructured meshes — the TPU-native fix for
+the generic gather path.
 
 The reference solves any mesh at full speed through one CSR-generic kernel
 (coupled_solver_fgmres.rs:1728; GPUs gather at HBM speed).  On TPU an XLA
@@ -22,12 +22,29 @@ gathers.  Three maps in the solver have that shape once cells are
   fine order;
 * coarse-level ELL adjacencies.
 
+Multilevel (locally refined) meshes concatenate per-level grids, so a
+block's neighbors span its own level's band plus far bands in the
+parent/child levels; ``build_banded_map2`` splits each block's source rows
+at the largest gaps into up to ``n_windows`` narrow windows and the kernel
+walks window x offset.
+
 Encode-time (runtime/device_mesh.py): cells are RCM-ordered and the count
-padded to a multiple of 128; ``build_banded_map`` converts any (M, K) index
-array into (lane, sel, base, W) planes; the kernel walks the W candidate
+padded to a multiple of 128; the build functions convert any (M, K) index
+array into (lane, sel, bases, W) planes; the kernel walks the candidate
 source rows per destination block: broadcast row -> per-lane dynamic_gather
--> masked accumulate.  All VMEM-resident; HBM traffic is the operand, the
-int32 index planes, and the output.
+-> masked accumulate.  The operand lives whole in VMEM; HBM traffic is the
+operand, the int32 index planes, and the output.
+
+Two performance-critical forms (one kernel):
+
+* plain gather — (M, K) neighbor values out;
+* **fused dot** (``banded_dot``) — out_j[i] = sum_k off[i,k] * x_c[idx[i,k]]
+  computed in-kernel, so coefficient SpMV / smoother sweeps never
+  materialize the (M, K) gathered array to HBM.
+
+``BLOCK_ROWS_PER_PROGRAM`` destination blocks run per grid step so the
+index/coefficient DMAs are tens of KB, not 1.5 KB (the single-block form
+measured ~45x below roofline on launch/DMA latency).
 """
 
 from __future__ import annotations
@@ -41,6 +58,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 LANES = 128
+BLOCK_ROWS_PER_PROGRAM = 8
 
 
 def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
@@ -50,17 +68,15 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
     (NB,) int32, W static — or None when some destination block's source
     spread exceeds ``w_max`` window rows (caller falls back to XLA gather).
 
-    Padded output rows (M -> NB*128) gather source element 0; callers slice
-    the output back to M.
+    Padded output rows (M -> NB*128) gather an index near the last real
+    rows' sources (not 0: the final block's window must not stretch across
+    the whole operand); callers slice the output back to M.
     """
     idx = np.asarray(idx, dtype=np.int64)
     M, K = idx.shape
     NB = (M + LANES - 1) // LANES
     Mp = NB * LANES
     if Mp != M:
-        # Pad with an index NEAR the last real rows' sources (not 0): the
-        # window of the final block must not be stretched across the whole
-        # operand by the padding.
         fill = idx[M - 1, 0]
         idx = np.concatenate(
             [idx, np.full((Mp - M, K), fill, np.int64)], axis=0)
@@ -80,97 +96,6 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
     lane = np.ascontiguousarray(lane.transpose(0, 2, 1)).astype(np.int32)
     sel = np.ascontiguousarray(sel.transpose(0, 2, 1)).astype(np.int32)
     return lane, sel, base, W
-
-
-def _gather_kernel(W: int, K: int, C: int, base_ref, lane_ref, sel_ref,
-                   *refs):
-    """One destination block: pull K slot values for 128 outputs from the
-    W candidate source rows starting at base[b], for C vector components
-    sharing one set of index planes (the dominant HBM traffic).
-    ``base_ref`` is the whole (NB,) SMEM array (TPU Mosaic rejects rank-1
-    size-1 SMEM blocks)."""
-    x_refs = refs[:C]
-    o_refs = refs[C:]
-    b0 = base_ref[pl.program_id(0)]
-    lanes = lane_ref[0]                       # (K, LANES)
-    selv = sel_ref[0]
-    for c in range(C):
-        acc = jnp.zeros((K, LANES), jnp.float32)
-        for s in range(W):
-            src = x_refs[c][pl.ds(b0 + s, 1), :]      # (1, LANES)
-            srcb = jnp.broadcast_to(src, (K, LANES))
-            g = jnp.take_along_axis(srcb, lanes, axis=1)
-            acc = acc + jnp.where(selv == s, g, 0.0)
-        o_refs[c][0] = acc
-
-
-def _interpret() -> bool:
-    return jax.default_backend() == "cpu"
-
-
-@partial(jax.jit, static_argnames=("W",))
-def _banded_gather_raw(xs, lane: jnp.ndarray, sel: jnp.ndarray,
-                       base: jnp.ndarray, W: int):
-    """xs: tuple of (n_src,) components -> tuple of (NB, K, 128) slot values
-    (padded rows gather x[0]); one kernel call, index planes read once."""
-    NB, K, _ = lane.shape
-    if K == 1:
-        # Single-slot maps (prolongation): K=1 take_along_axis lowers to a
-        # gather form Mosaic rejects; run with a duplicated slot and slice.
-        lane = jnp.concatenate([lane, lane], axis=1)
-        sel = jnp.concatenate([sel, sel], axis=1)
-        return tuple(o[:, :1]
-                     for o in _banded_gather_raw(xs, lane, sel, base, W))
-    C = len(xs)
-    n_src = xs[0].shape[0]
-    n_rows = (n_src + LANES - 1) // LANES
-    pad = n_rows * LANES - n_src
-    xrs = [jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(n_rows, LANES)
-           for x in xs]
-    blk = pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
-                       memory_space=pltpu.VMEM)
-    out = pl.pallas_call(
-        partial(_gather_kernel, W, K, C),
-        grid=(NB,),
-        out_shape=[jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32)] * C,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * C,
-        out_specs=[blk] * C,
-        interpret=_interpret(),
-    )(base, lane, sel, *xrs)
-    return tuple(out) if isinstance(out, (tuple, list)) else (out,)
-
-
-def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
-                     base: jnp.ndarray, W: int,
-                     m_out: int | None = None) -> jnp.ndarray:
-    """(M, K) gathered values (API-compatible with DeviceMesh.gather).
-
-    Tail dims (x of shape (n_src, C)) run as one multi-component kernel
-    call sharing the index-plane reads.  ``m_out``: un-padded output row
-    count (default NB*128).
-    """
-    NB, K, _ = lane.shape
-    if x.ndim == 2:
-        raws = _banded_gather_raw(tuple(x[:, c] for c in range(x.shape[1])),
-                                  lane, sel, base, W)
-        cols = [jnp.moveaxis(r, 1, 2).reshape(NB * LANES, K) for r in raws]
-        out = jnp.stack(cols, axis=2).astype(x.dtype)
-    else:
-        (raw,) = _banded_gather_raw((x,), lane, sel, base, W)
-        out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
-    if m_out is not None and m_out != NB * LANES:
-        out = out[:m_out]
-    return out
-
-
-# ----------------------------------------------------------------------
-# Two-window variant: multilevel (locally-refined) meshes concatenate
-# per-level grids, so a cell's neighbors live in its own level's band plus
-# (across refinement interfaces) a second band in the parent/child level.
-# Each destination block therefore reads from up to TWO narrow source-row
-# windows; sel encodes (window, offset) as s < W -> base1 + s,
-# s >= W -> base2 + (s - W).
 
 
 def build_banded_map2(idx: np.ndarray, n_src: int, w_max: int = 16,
@@ -239,66 +164,166 @@ def build_banded_map2(idx: np.ndarray, n_src: int, w_max: int = 16,
     return lane, sel, np.ascontiguousarray(bases), W
 
 
-def _gather_kernel2(W: int, K: int, C: int, NW: int, bases_ref, lane_ref,
-                    sel_ref, *refs):
-    x_refs = refs[:C]
-    o_refs = refs[C:]
+# ----------------------------------------------------------------------
+# The unified kernel: NW windows, R destination blocks per program, and
+# either plain gather outputs (prods=None) or fused coefficient dots.
+
+
+def _kernel(W: int, K: int, C: int, NW: int, R: int, n_off: int,
+            prods, bases_ref, lane_ref, sel_ref, *refs):
+    x_refs = refs[:C]                     # full-operand VMEM (n_rows, 128)
+    off_refs = refs[C:C + n_off]          # (R, K, LANES) coefficient blocks
+    o_refs = refs[C + n_off:]
     b = pl.program_id(0)
-    lanes = lane_ref[0]
-    selv = sel_ref[0]
-    for c in range(C):
-        acc = jnp.zeros((K, LANES), jnp.float32)
+    for r in range(R):
+        lanes = lane_ref[r]               # (K, LANES)
+        selv = sel_ref[r]
+        gs = [jnp.zeros((K, LANES), jnp.float32) for _ in range(C)]
         for w in range(NW):
-            bw = bases_ref[b, w]
+            bw = bases_ref[b * R + r, w]
             for s in range(W):
-                src = x_refs[c][pl.ds(bw + s, 1), :]
-                srcb = jnp.broadcast_to(src, (K, LANES))
-                g = jnp.take_along_axis(srcb, lanes, axis=1)
-                acc = acc + jnp.where(selv == w * W + s, g, 0.0)
-        o_refs[c][0] = acc
+                mask = selv == w * W + s
+                for c in range(C):
+                    src = x_refs[c][pl.ds(bw + s, 1), :]       # (1, LANES)
+                    srcb = jnp.broadcast_to(src, (K, LANES))
+                    g = jnp.take_along_axis(srcb, lanes, axis=1)
+                    gs[c] = gs[c] + jnp.where(mask, g, 0.0)
+        if prods is None:
+            for c in range(C):
+                o_refs[c][r] = gs[c]
+        else:
+            for j, pairs in enumerate(prods):
+                acc = jnp.zeros((K, LANES), jnp.float32)
+                for (oi, ci) in pairs:
+                    acc = acc + off_refs[oi][r] * gs[ci]
+                o_refs[j][pl.ds(r, 1)] = jnp.sum(acc, axis=0, keepdims=True)
 
 
-@partial(jax.jit, static_argnames=("W",))
-def _banded_gather2_raw(xs, lane, sel, bases, W: int):
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def _pad_blocks(a, NBp):
+    """Pad leading (block) dim to NBp replicating the last block."""
+    pad = NBp - a.shape[0]
+    if pad == 0:
+        return a
+    return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+
+
+@partial(jax.jit, static_argnames=("W", "prods"))
+def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None):
+    """xs: tuple of (n_src,) components; offs: tuple of (NB, K, LANES)
+    coefficient blocks (empty for plain gather); lane/sel (NB, K, 128);
+    bases (NB, NW).  Returns tuple of (NB, K, 128) gathers (prods=None) or
+    (NB, 128) dot outputs (prods = per-output tuples of (off, comp))."""
     NB, K, _ = lane.shape
     NW = bases.shape[1]
     if K == 1:
+        # Single-slot maps (prolongation): K=1 take_along_axis lowers to a
+        # gather form Mosaic rejects; run with a duplicated slot (zero
+        # coefficients on the duplicate so dots are unchanged) and slice.
         lane = jnp.concatenate([lane, lane], axis=1)
         sel = jnp.concatenate([sel, sel], axis=1)
-        return tuple(o[:, :1] for o in
-                     _banded_gather2_raw(xs, lane, sel, bases, W))
+        offs = tuple(jnp.concatenate([o, jnp.zeros_like(o)], axis=1)
+                     for o in offs)
+        out = _banded_raw(xs, offs, lane, sel, bases, W, prods)
+        if prods is None:
+            out = tuple(o[:, :1] for o in out)
+        return out
     C = len(xs)
+    n_off = len(offs)
+    R = min(BLOCK_ROWS_PER_PROGRAM, NB)
+    NBp = -(-NB // R) * R
+    lane = _pad_blocks(lane, NBp)
+    sel = _pad_blocks(sel, NBp)
+    bases = _pad_blocks(bases, NBp)
+    offs = tuple(_pad_blocks(o, NBp) for o in offs)
     n_src = xs[0].shape[0]
     n_rows = (n_src + LANES - 1) // LANES
     pad = n_rows * LANES - n_src
     xrs = [jnp.pad(x.astype(jnp.float32), (0, pad)).reshape(n_rows, LANES)
            for x in xs]
-    blk = pl.BlockSpec((1, K, LANES), lambda b: (b, 0, 0),
+    blk = pl.BlockSpec((R, K, LANES), lambda b: (b, 0, 0),
                        memory_space=pltpu.VMEM)
+    if prods is None:
+        out_shape = [jax.ShapeDtypeStruct((NBp, K, LANES), jnp.float32)] * C
+        out_specs = [blk] * C
+    else:
+        rblk = pl.BlockSpec((R, LANES), lambda b: (b, 0),
+                            memory_space=pltpu.VMEM)
+        out_shape = [jax.ShapeDtypeStruct((NBp, LANES), jnp.float32)] \
+            * len(prods)
+        out_specs = [rblk] * len(prods)
     out = pl.pallas_call(
-        partial(_gather_kernel2, W, K, C, NW),
-        grid=(NB,),
-        out_shape=[jax.ShapeDtypeStruct((NB, K, LANES), jnp.float32)] * C,
+        partial(_kernel, W, K, C, NW, R, n_off, prods),
+        grid=(NBp // R,),
+        out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * C,
-        out_specs=[blk] * C,
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * C
+        + [blk] * n_off,
+        out_specs=out_specs,
         interpret=_interpret(),
-    )(bases, lane, sel, *xrs)
-    return tuple(out) if isinstance(out, (tuple, list)) else (out,)
+    )(bases, lane, sel, *xrs, *offs)
+    out = tuple(out) if isinstance(out, (tuple, list)) else (out,)
+    return tuple(o[:NB] for o in out)
+
+
+def _to_blocked(off: jnp.ndarray, NB: int, K: int) -> jnp.ndarray:
+    """(M, K) coefficient plane -> (NB, K, LANES) blocks (zero-padded)."""
+    M = off.shape[0]
+    pad = NB * LANES - M
+    o = jnp.pad(off.astype(jnp.float32), ((0, pad), (0, 0)))
+    return o.reshape(NB, LANES, K).transpose(0, 2, 1)
+
+
+def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
+                     base: jnp.ndarray, W: int,
+                     m_out: int | None = None) -> jnp.ndarray:
+    """(M, K) gathered values (API-compatible with DeviceMesh.gather).
+
+    Tail dims (x of shape (n_src, C)) run as one multi-component kernel
+    call sharing the index-plane reads.  ``m_out``: un-padded output row
+    count (default NB*128).  ``base`` may be (NB,) single-window or
+    (NB, NW) multi-window.
+    """
+    NB, K, _ = lane.shape
+    bases = base[:, None] if base.ndim == 1 else base
+    if x.ndim == 2:
+        raws = _banded_raw(tuple(x[:, c] for c in range(x.shape[1])), (),
+                           lane, sel, bases, W)
+        cols = [jnp.moveaxis(r, 1, 2).reshape(NB * LANES, K) for r in raws]
+        out = jnp.stack(cols, axis=2).astype(x.dtype)
+    else:
+        (raw,) = _banded_raw((x,), (), lane, sel, bases, W)
+        out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
+    if m_out is not None and m_out != NB * LANES:
+        out = out[:m_out]
+    return out
 
 
 def banded_gather2_nk(x: jnp.ndarray, lane, sel, bases, W: int,
                       m_out: int | None = None) -> jnp.ndarray:
-    """(M, K) gathered values through the multi-window kernel."""
+    """(M, K) gathered values through the multi-window map."""
+    return banded_gather_nk(x, lane, sel, bases, W, m_out=m_out)
+
+
+def banded_dot(xs, offs, lane, sel, bases, W: int, prods,
+               m_out: int | None = None):
+    """Fused banded SpMV: out_j[i] = sum over (oi, ci) in prods[j] of
+    sum_k offs[oi][i, k] * xs[ci][idx[i, k]].
+
+    ``xs``: tuple of (n_src,) operand components; ``offs``: tuple of (M, K)
+    coefficient planes (blocked in-kernel); ``prods``: per-output tuple of
+    (off_index, comp_index) pairs.  Returns a tuple of (m_out,) arrays.
+    The gathered neighbor values never touch HBM.
+    """
     NB, K, _ = lane.shape
-    if x.ndim == 2:
-        raws = _banded_gather2_raw(tuple(x[:, c] for c in range(x.shape[1])),
-                                   lane, sel, bases, W)
-        cols = [jnp.moveaxis(r, 1, 2).reshape(NB * LANES, K) for r in raws]
-        out = jnp.stack(cols, axis=2).astype(x.dtype)
-    else:
-        (raw,) = _banded_gather2_raw((x,), lane, sel, bases, W)
-        out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
+    bases = bases[:, None] if bases.ndim == 1 else bases
+    offb = tuple(_to_blocked(o, NB, K) for o in offs)
+    raws = _banded_raw(tuple(xs), offb, lane, sel, bases, W,
+                       prods=tuple(tuple(p) for p in prods))
+    out = tuple(r.reshape(NB * LANES) for r in raws)
     if m_out is not None and m_out != NB * LANES:
-        out = out[:m_out]
+        out = tuple(o[:m_out] for o in out)
     return out

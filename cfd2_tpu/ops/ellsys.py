@@ -55,28 +55,48 @@ def _dotK(off, g):
 
 
 def spmv(es: EllSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
-    """y = A x, x (N, 3); one multi-component gather for u/v/p."""
-    g = mesh.gather(x)                    # (N, K, 3)
+    """y = A x, x (N, 3); one fused banded-dot kernel shares the u/v/p
+    neighbor reads and never materializes the (N, K, 3) gather."""
     xu, xv, xp = x[:, 0], x[:, 1], x[:, 2]
-    gu, gv, gp = g[..., 0], g[..., 1], g[..., 2]
-    yu = es.diag_u * xu + es.diag_up * xp \
-        + _dotK(es.off_mom, gu) + _dotK(es.off_up, gp)
-    yv = es.diag_u * xv + es.diag_vp * xp \
-        + _dotK(es.off_mom, gv) + _dotK(es.off_vp, gp)
-    yp = es.diag_pu * xu + es.diag_pv * xv + es.diag_pp * xp \
-        + _dotK(es.off_pu, gu) + _dotK(es.off_pv, gv) + _dotK(es.off_pp, gp)
-    return jnp.stack([yu, yv, yp], axis=1)
+    du, dv, dp_ = (es.diag_u * xu + es.diag_up * xp,
+                   es.diag_u * xv + es.diag_vp * xp,
+                   es.diag_pu * xu + es.diag_pv * xv + es.diag_pp * xp)
+    if mesh.banded:
+        su, sv, sp = mesh.banded_dot(
+            (xu, xv, xp),
+            (es.off_mom, es.off_up, es.off_vp,
+             es.off_pu, es.off_pv, es.off_pp),
+            (((0, 0), (1, 2)),            # A_uu gu + G_u gp
+             ((0, 1), (2, 2)),            # A_vv gv + G_v gp
+             ((3, 0), (4, 1), (5, 2))))   # D_u gu + D_v gv + C gp
+    else:
+        g = mesh.gather(x)
+        gu, gv, gp = g[..., 0], g[..., 1], g[..., 2]
+        su = _dotK(es.off_mom, gu) + _dotK(es.off_up, gp)
+        sv = _dotK(es.off_mom, gv) + _dotK(es.off_vp, gp)
+        sp = (_dotK(es.off_pu, gu) + _dotK(es.off_pv, gv)
+              + _dotK(es.off_pp, gp))
+    return jnp.stack([du + su, dv + sv, dp_ + sp], axis=1)
+
+
+def _mom_dot2(es: EllSystem, mesh, z_u, z_v):
+    """(A_off z_u, A_off z_v) sharing one kernel's neighbor reads."""
+    if mesh.banded:
+        return mesh.banded_dot((z_u, z_v), (es.off_mom,),
+                               (((0, 0),), ((0, 1),)))
+    g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
+    return _dotK(es.off_mom, g[..., 0]), _dotK(es.off_mom, g[..., 1])
 
 
 def _momentum_solve(es: EllSystem, mesh, r_u, r_v, sweeps: int):
     """Jacobi momentum predict (see stencil_system._momentum_solve); u and v
-    share one gather per sweep."""
+    share one fused banded dot per sweep."""
     z_u = es.diag_u_inv * r_u
     z_v = es.diag_u_inv * r_v
     for _ in range(sweeps - 1):
-        g = mesh.gather(jnp.stack([z_u, z_v], axis=1))    # (N, K, 2)
-        z_u = es.diag_u_inv * (r_u - _dotK(es.off_mom, g[..., 0]))
-        z_v = es.diag_u_inv * (r_v - _dotK(es.off_mom, g[..., 1]))
+        su, sv = _mom_dot2(es, mesh, z_u, z_v)
+        z_u = es.diag_u_inv * (r_u - su)
+        z_v = es.diag_u_inv * (r_v - sv)
     return z_u, z_v
 
 
@@ -89,7 +109,10 @@ def chebyshev_pressure_solve(es: EllSystem, mesh, rhs_p, omega: float,
 
     def sweep(_, carry):
         x_prev, x_cur = carry
-        sigma = _dotK(es.P_off, mesh.gather(x_cur))
+        if mesh.banded:
+            (sigma,) = mesh.banded_dot((x_cur,), (es.P_off,), (((0, 0),),))
+        else:
+            sigma = _dotK(es.P_off, mesh.gather(x_cur))
         hat = es.diag_p_inv * (rhs_p - sigma)
         return (x_cur, x_prev + omega * (hat - x_prev))
 
@@ -106,17 +129,26 @@ def schur_precond(es: EllSystem, mesh, r: jnp.ndarray, omega: float,
 
     z_u, z_v = _momentum_solve(es, mesh, r_u, r_v, mom_sweeps)
 
-    g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
-    rhs_p = r_p - es.diag_pu * z_u - es.diag_pv * z_v \
-        - _dotK(es.off_pu, g[..., 0]) - _dotK(es.off_pv, g[..., 1])
+    if mesh.banded:
+        (sig_p,) = mesh.banded_dot((z_u, z_v), (es.off_pu, es.off_pv),
+                                   (((0, 0), (1, 1)),))
+    else:
+        g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
+        sig_p = _dotK(es.off_pu, g[..., 0]) + _dotK(es.off_pv, g[..., 1])
+    rhs_p = r_p - es.diag_pu * z_u - es.diag_pv * z_v - sig_p
 
     if pressure_solve is None:
         z_p = chebyshev_pressure_solve(es, mesh, rhs_p, omega, n_sweeps)
     else:
         z_p = pressure_solve(rhs_p)
 
-    gp = mesh.gather(z_p)
-    g_u = es.diag_up * z_p + _dotK(es.off_up, gp)
-    g_v = es.diag_vp * z_p + _dotK(es.off_vp, gp)
+    if mesh.banded:
+        sg_u, sg_v = mesh.banded_dot((z_p,), (es.off_up, es.off_vp),
+                                     (((0, 0),), ((1, 0),)))
+    else:
+        gp = mesh.gather(z_p)
+        sg_u, sg_v = _dotK(es.off_up, gp), _dotK(es.off_vp, gp)
+    g_u = es.diag_up * z_p + sg_u
+    g_v = es.diag_vp * z_p + sg_v
     gz_u, gz_v = _momentum_solve(es, mesh, g_u, g_v, mom_sweeps)
     return jnp.stack([z_u - gz_u, z_v - gz_v, z_p], axis=1)

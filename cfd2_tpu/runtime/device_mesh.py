@@ -226,6 +226,27 @@ class DeviceMesh:
                                     self.bd_base, self.bd_W)
         return x[self.ck_neighbor]
 
+    @property
+    def banded(self) -> bool:
+        """True when a banded Pallas index map is available (the fused
+        ``banded_dot`` path)."""
+        return self.bd_W is not None or self.bd2_W is not None
+
+    def banded_dot(self, xs, offs, prods):
+        """Fused banded SpMV over the mesh neighbor map (ops/banded_gather
+        .banded_dot): out_j = sum over (oi, ci) in prods[j] of
+        sum_k offs[oi][:, k] * xs[ci][neighbor[:, k]].  The gathered
+        neighbor values never materialize to HBM."""
+        from ..ops.banded_gather import banded_dot
+        if self.bd_W is not None:
+            lane, sel, bases, W = (self.bd_lane, self.bd_sel, self.bd_base,
+                                   self.bd_W)
+        else:
+            lane, sel, bases, W = (self.bd2_lane, self.bd2_sel,
+                                   self.bd2_bases, self.bd2_W)
+        return banded_dot(xs, offs, lane, sel, bases, W, prods,
+                          m_out=self.num_cells)
+
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
         out = []
         for (ny, nx), off in zip(self.ml_levels, self.ml_offsets):

@@ -138,3 +138,65 @@ def test_two_window_span_limit_returns_none():
     N = 1024
     idx = rng.integers(0, N, (N, 4))
     assert build_banded_map2(idx, N, w_max=4) is None
+
+
+# ---------------------------------------------------------------------------
+# Fused coefficient dot (banded SpMV)
+
+
+def test_banded_dot_matches_gather_dot():
+    from cfd2_tpu.ops.banded_gather import banded_dot
+    rng = np.random.default_rng(9)
+    N, K = 1024, 5
+    idx = np.clip(np.arange(N)[:, None]
+                  + rng.integers(-150, 151, (N, K)), 0, N - 1)
+    lane, sel, base, W = build_banded_map(idx, N)
+    xs = [rng.standard_normal(N).astype(np.float32) for _ in range(3)]
+    offs = [rng.standard_normal((N, K)).astype(np.float32)
+            for _ in range(4)]
+    prods = (((0, 0), (1, 2)), ((0, 1), (2, 2)), ((3, 0),))
+    outs = banded_dot(tuple(jnp.asarray(x) for x in xs),
+                      tuple(jnp.asarray(o) for o in offs),
+                      jnp.asarray(lane), jnp.asarray(sel),
+                      jnp.asarray(base), W, prods, m_out=N)
+    for j, pairs in enumerate(prods):
+        ref = np.zeros(N, np.float32)
+        for (oi, ci) in pairs:
+            ref += (offs[oi] * xs[ci][idx]).sum(axis=1)
+        np.testing.assert_allclose(np.asarray(outs[j]), ref,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_banded_dot_two_window_k1():
+    """K=1 (prolongation-style) fused dot through the multi-window map."""
+    from cfd2_tpu.ops.banded_gather import banded_dot, build_banded_map2
+    rng = np.random.default_rng(10)
+    n_fine, nc = 1664, 512
+    agg = np.clip(np.arange(n_fine) // 3
+                  + rng.integers(-2, 3, n_fine), 0, nc - 1)
+    idx = agg[:, None]
+    lane, sel, bases, W = build_banded_map2(idx, nc)
+    x = rng.standard_normal(nc).astype(np.float32)
+    off = rng.standard_normal((n_fine, 1)).astype(np.float32)
+    (out,) = banded_dot((jnp.asarray(x),), (jnp.asarray(off),),
+                        jnp.asarray(lane), jnp.asarray(sel),
+                        jnp.asarray(bases), W, (((0, 0),),), m_out=n_fine)
+    ref = (off * x[idx]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+def test_banded_dot_nonmultiple_blocks():
+    """NB not a multiple of the per-program block count (padding path)."""
+    from cfd2_tpu.ops.banded_gather import banded_dot
+    rng = np.random.default_rng(11)
+    N, K = 3 * 128, 4
+    idx = np.clip(np.arange(N)[:, None]
+                  + rng.integers(-60, 61, (N, K)), 0, N - 1)
+    lane, sel, base, W = build_banded_map(idx, N)
+    x = rng.standard_normal(N).astype(np.float32)
+    off = rng.standard_normal((N, K)).astype(np.float32)
+    (out,) = banded_dot((jnp.asarray(x),), (jnp.asarray(off),),
+                        jnp.asarray(lane), jnp.asarray(sel),
+                        jnp.asarray(base), W, (((0, 0),),), m_out=N)
+    ref = (off * x[idx]).sum(axis=1)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
