@@ -51,7 +51,9 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
     dt = (time.time() - t0) / steps
     assert np.isfinite(s.get_u()).all()
     layout = ("structured" if s.mesh.structured
-              else "multilevel" if s.mesh.multilevel
+              else (f"multilevel-banded(W={s.mesh.bd2_W})"
+                    if s.mesh.bd2_W is not None else "multilevel")
+              if s.mesh.multilevel
               else f"banded(W={s.mesh.bd_W})" if s.mesh.bd_W is not None
               else "generic")
     print(json.dumps({

@@ -198,11 +198,11 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
                                      coeff=params.density * state.d_p)
         else:
             ps = None
-        # Momentum depth 4: measured best bracket on the banded path at
-        # 145k cells (m1 solve 238 ms/48 iters, m8 308 ms/24 iters — each
-        # extra sweep costs a gather pair, unlike the fused stencil sweeps).
+        # Momentum depth 8: with the fused banded-dot sweeps (a sweep is
+        # one in-kernel dot, not a gather pair) the halved iteration count
+        # wins: m1 solve 122 ms/48 iters vs m8 99 ms/24 iters at 145k.
         ms = (config.precond_mom_sweeps if config.precond_mom_sweeps > 0
-              else 4)
+              else 8)
         precond = lambda r: el.schur_precond(
             es, mesh, r, config.precond_omega, n_sweeps,
             pressure_solve=ps, mom_sweeps=ms)
