@@ -71,6 +71,8 @@ def _measure(s, steps, mode, n, label):
 
 
 def run_bench(min_cell=None):
+    t_start = time.time()
+    budget = float(os.environ.get("BENCH_TIMEOUT", "1500"))
     if min_cell is None:
         min_cell = float(os.environ.get("BENCH_MIN_CELL", "0.0017"))
     steps = int(os.environ.get("BENCH_STEPS", "5"))
@@ -169,7 +171,15 @@ def run_bench(min_cell=None):
             jax.block_until_ready(s.state.u)
             developed = _measure(s, steps, mode, n, "developed")
 
-            if os.environ.get("BENCH_SKIP_AB") != "1":
+            # The A/B line needs a full recompile (config is static); skip
+            # it when the child is close to its watchdog budget — losing
+            # the A/B beats losing the whole developed headline to a
+            # timeout (the parent would fall back to a small mesh).
+            ab_ok = time.time() - t_start < 0.55 * budget
+            if not ab_ok:
+                print("# skipping A/B recompile (near watchdog budget)",
+                      file=sys.stderr)
+            if ab_ok and os.environ.get("BENCH_SKIP_AB") != "1":
                 # A/B: reference outer-loop policy (no alpha ramp, no
                 # plateau patience) on the same developed state.
                 s.config = _rep(s.config, alpha_u_final=0.0,

@@ -195,7 +195,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
         if config.precond_type == PRECOND_AMG and amg is not None:
             from ..ops.amg import make_pressure_solve
             ps = make_pressure_solve(amg, mesh, es,
-                                     coeff=params.density * state.d_p)
+                                     coeff=params.density * state.d_p,
+                                     cycle_opts=config.cycle_opts())
         else:
             ps = None
         # Momentum depth 8: with the fused banded-dot sweeps (a sweep is
@@ -225,7 +226,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
     if config.precond_type == PRECOND_AMG and amg is not None:
         from ..ops.amg import make_pressure_solve
         pressure_solve = make_pressure_solve(
-            amg, mesh, sys, coeff=params.density * state.d_p)
+            amg, mesh, sys, coeff=params.density * state.d_p,
+            cycle_opts=config.cycle_opts())
     else:
         pressure_solve = None
     return _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve,
@@ -702,7 +704,8 @@ class CoupledSolver:
             return None
         if self._amg is None:
             from ..ops.amg import build_hierarchy_for_mesh
-            self._amg = build_hierarchy_for_mesh(self.mesh)
+            self._amg = build_hierarchy_for_mesh(
+                self.mesh, agg_passes=self.config.amg_agg_passes)
         return self._amg
 
     def step(self, mode: str = "fused"):

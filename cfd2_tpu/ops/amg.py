@@ -161,8 +161,34 @@ def _aggregate_ell(ngh: np.ndarray, mask: np.ndarray) -> tuple[np.ndarray, int]:
     return agg, num
 
 
+def _coarse_graph_from_agg(ngh: np.ndarray, mask: np.ndarray,
+                           agg: np.ndarray, nc: int):
+    """Aggregate-graph adjacency (ELL) induced by fine edges."""
+    n, kf = ngh.shape
+    fi = np.repeat(np.arange(n), kf)
+    fj = ngh.ravel()
+    fv = mask.ravel()
+    a_i = agg[fi]
+    a_j = agg[fj]
+    cross = fv & (a_i != a_j)
+    pair = np.unique(a_i[cross] * nc + a_j[cross])
+    pci = pair // nc
+    pcj = pair % nc
+    counts = np.bincount(pci, minlength=nc)
+    kc = max(int(counts.max()) if len(pair) else 0, 1)
+    row_start = np.zeros(nc + 1, np.int64)
+    np.cumsum(counts, out=row_start[1:])
+    slot = np.arange(len(pair)) - row_start[pci]
+    cn = np.tile(np.arange(nc, dtype=np.int64)[:, None], (1, kc))
+    cm = np.zeros((nc, kc), bool)
+    cn[pci, slot] = pcj
+    cm[pci, slot] = True
+    return cn, cm
+
+
 def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
-                    c_valid: np.ndarray | None = None) -> AmgHierarchy:
+                    c_valid: np.ndarray | None = None,
+                    agg_passes: int = 1) -> AmgHierarchy:
     """Build the static AMG hierarchy from the fine pressure sparsity pattern
     (the mesh's cell adjacency).  Fully vectorized except the (native) greedy
     scan; scales to multi-million-cell meshes.
@@ -182,6 +208,18 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         if n <= _MIN_COARSE:
             break
         agg, nc = _aggregate_ell(ngh, mask)
+        # Multi-pass aggregation (pairwise-squared, Notay-style): compose a
+        # second greedy pass over the aggregate graph for ~3x fewer levels.
+        # On TPU the V-cycle's cost at >=100k cells is kernel-launch count,
+        # not bandwidth, so a shallower hierarchy with stronger (Chebyshev)
+        # smoothing wins even though each cycle contracts a bit less.
+        for _ in range(agg_passes - 1):
+            if nc <= _MIN_COARSE:
+                break
+            cn, cm = _coarse_graph_from_agg(ngh, mask, agg, nc)
+            agg2, nc2 = _aggregate_ell(cn, cm)
+            agg = agg2[agg]
+            nc = nc2
         trash = -1
         if invalid is not None and invalid.any():
             # Remap all solid cells into a single trash aggregate.  It gets
@@ -806,7 +844,13 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
 
 def compute_level_values(hier: AmgHierarchy, P_diag: jnp.ndarray,
                          P_off: jnp.ndarray):
-    """Galerkin-coarsen the current pressure values down the hierarchy."""
+    """Galerkin-coarsen the current pressure values down the hierarchy.
+
+    Unlike the structured path, the fine diagonal is NOT ``_NULL_SHIFT``
+    regularized here: measured on a 36k Delaunay coupled solve, the shift
+    cost iterations (150 -> 250; tools/prof_amg_variants.py) — the generic
+    hierarchy's regularized coarsest LU already bounds the near-null
+    constant mode well enough for FGMRES."""
     vals = [(P_diag, P_off)]
     for lvl in hier.levels:
         fd, fo = vals[-1]
@@ -829,9 +873,45 @@ def _smooth(diag, off, dot, x, b, sweeps=1):
     return x
 
 
+def _gershgorin_lmax(diag, off):
+    """Per-level upper bound on lambda_max(D^-1 A) from row sums; exact and
+    data-dependent (traced), so Chebyshev smoothing never runs with modes
+    outside its interval (a fixed 1.9 bound measured NaN: the pressure
+    M-matrix's interior rows reach exactly 2.0)."""
+    ad = jnp.abs(diag)
+    ratio = (ad + jnp.sum(jnp.abs(off), axis=1)) / jnp.maximum(ad, 1e-30)
+    return jnp.max(jnp.where(ad > 1e-30, ratio, 1.0))
+
+
+def _smooth_cheb(diag, off, dot, x, b, degree=2, lmax=2.0):
+    """Chebyshev polynomial smoother on the Jacobi-preconditioned operator
+    D^-1 A, targeting [lmax/4, lmax] — the standard aggregation-AMG
+    smoother (e.g. hypre/MueLu).  Each application costs ``degree`` operator
+    dots, same as ``degree`` Jacobi sweeps, but damps the upper 3/4 of the
+    spectrum uniformly instead of only the very top.  ``lmax`` may be a
+    traced scalar (see :func:`_gershgorin_lmax`)."""
+    dinv = jnp.where(jnp.abs(diag) > 1e-30, 1.0 / diag, 0.0)
+    lmin = lmax / 4.0
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    r = b - _ell_spmv(diag, off, dot, x)
+    d = dinv * r / theta
+    x = x + d
+    for _ in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        r = b - _ell_spmv(diag, off, dot, x)
+        d = rho_new * rho * d + 2.0 * rho_new / delta * (dinv * r)
+        rho = rho_new
+        x = x + d
+    return x
+
+
 def v_cycle(hier: AmgHierarchy, level_values, mesh,
             b0: jnp.ndarray, x0: jnp.ndarray,
-            coarse_factors=None) -> jnp.ndarray:
+            coarse_factors=None, smoother: str = "jacobi",
+            smooth_arg: int = 1, overcorrect: float = 1.0) -> jnp.ndarray:
     """One V-cycle; level structure is static so the cycle fully unrolls.
 
     Per-level neighbor sums go through fused banded dots where a banded map
@@ -839,6 +919,13 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     touch HBM); level 0 on structured meshes keeps ``mesh.gather`` stencil
     shifts (XLA fuses the dot into the shifts), and unbanded coarse levels
     use plain XLA gathers.
+
+    ``smoother``: "jacobi" (damped, ``smooth_arg`` sweeps) or "cheb"
+    (Chebyshev of degree ``smooth_arg``).  ``overcorrect``: scale on the
+    prolongated coarse correction — piecewise-constant aggregation
+    transfers underestimate the correction energy, and scaling by ~1.5-1.8
+    is the classic plain-aggregation fix (Braess '95 / Notay's over-
+    correction; smoothed aggregation without the wider RAP pattern).
     """
     from .banded_gather import banded_dot, banded_gather_nk
 
@@ -861,13 +948,21 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     L = len(hier.levels)
     dots = [_dot0] + [_ell_dot(lvl) for lvl in hier.levels]
 
+    if smoother == "cheb":
+        def smooth(diag, off, dot, x, b):
+            return _smooth_cheb(diag, off, dot, x, b, degree=smooth_arg,
+                                lmax=_gershgorin_lmax(diag, off))
+    else:
+        def smooth(diag, off, dot, x, b):
+            return _smooth(diag, off, dot, x, b, sweeps=smooth_arg)
+
     xs = [x0]
     bs = [b0]
     # Downward
     for i in range(L):
         diag, off = level_values[i]
         lvl = hier.levels[i]
-        x = _smooth(diag, off, dots[i], xs[i], bs[i])
+        x = smooth(diag, off, dots[i], xs[i], bs[i])
         r = bs[i] - _ell_spmv(diag, off, dots[i], x)
         if lvl.bm_members is not None:
             b_c = _bm_dot(lvl.bm_members, lvl.w_members, lvl.n)(
@@ -895,15 +990,18 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
                                     m_out=lvl.agg.shape[0])[:, 0]
         else:
             prol = xs[i + 1][lvl.agg]
-        x = xs[i] + prol
-        xs[i] = _smooth(diag, off, dots[i], x, bs[i])
+        x = xs[i] + overcorrect * prol
+        xs[i] = smooth(diag, off, dots[i], x, bs[i])
 
     return xs[0]
 
 
-def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None):
+def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
+                        cycle_opts=None):
     """pressure_solve(rhs_p) closure for the Schur preconditioner (the AMG
     path of coupled_solver_fgmres.rs:1942-1946).
+    ``cycle_opts``: extra kwargs for the generic :func:`v_cycle` (smoother /
+    overcorrection variants; used by the aggregation-AMG path only).
 
     ``hier`` must reach the jitted computation as an *argument* pytree, never
     a Python closure constant — its index arrays would otherwise be embedded
@@ -990,20 +1088,27 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None):
     cols = (hier.levels[-1].ell_neighbor if hier.levels
             else jnp.zeros((dc.shape[0], 1), jnp.int32))
     factors = _dense_factor(dc, oc, cols)
+    opts = dict(cycle_opts or {})
 
     def pressure_solve(rhs_p):
         x0 = sys.diag_p_inv * rhs_p          # Jacobi seed, like p_sol init
         return v_cycle(hier, level_values, mesh, rhs_p, x0,
-                       coarse_factors=factors)
+                       coarse_factors=factors, **opts)
 
     return pressure_solve
 
 
-def build_hierarchy_for_mesh(mesh):
+def build_hierarchy_for_mesh(mesh, agg_passes: int = 0):
     """Build the hierarchy for a DeviceMesh: geometric 2x2 multigrid on
     structured meshes (stencil-only), fine-grid-embedded multigrid on
     multilevel meshes, generic greedy AMG otherwise.  None if the mesh is
-    too small."""
+    too small.
+
+    ``agg_passes=0`` (auto) resolves to 2 on the generic path: the
+    unstructured V-cycle at >=100k cells is kernel-launch-bound, so the
+    shallower double-pass hierarchy (7 -> 4 levels at 145k delaunay) wins
+    end-to-end (steps 1.57/1.73 -> 1.36/1.41 s) despite slightly weaker
+    per-cycle contraction."""
     if mesh.structured:
         hier = build_structured_hierarchy(mesh)
         if hier is not None:
@@ -1014,5 +1119,6 @@ def build_hierarchy_for_mesh(mesh):
             return hier
     hier = build_hierarchy(np.asarray(mesh.ck_neighbor),
                            np.asarray(mesh.ck_mask),
-                           np.asarray(mesh.c_valid))
+                           np.asarray(mesh.c_valid),
+                           agg_passes=agg_passes or 2)
     return hier if hier.levels else None

@@ -156,6 +156,19 @@ class SolverConfig:
     # V-cycle at >=1M cells, and extra cycles buy contraction^n for ~18%
     # more bytes per Krylov iteration.
     precond_vcycles: int = 0
+    # Aggregation-AMG cycle shape (generic/banded unstructured path only).
+    # precond_cheb > 0: Chebyshev smoother of that degree (per-level
+    # Gershgorin lambda_max) instead of one damped-Jacobi sweep.
+    # precond_overcorrect != 1: scale on the prolongated coarse correction
+    # (plain-aggregation transfers underestimate correction energy).
+    precond_cheb: int = 0
+    precond_overcorrect: float = 1.0
+    # Aggregation passes per AMG level (generic hierarchy).  2 composes a
+    # second greedy pass over the aggregate graph (~9x coarsening per
+    # level): the unstructured V-cycle's cost at >=100k cells is
+    # kernel-launch count, so ~half the levels beats the slightly better
+    # per-cycle contraction of the deep hierarchy.  0 = auto.
+    amg_agg_passes: int = 0
 
     # Steady-state / degeneracy detection: coupled_solver.rs:501-580
     evolution_threshold: float = 1e-6
@@ -171,6 +184,16 @@ class SolverConfig:
         if self.precond_vcycles > 0:
             return self.precond_vcycles
         return 1
+
+    def cycle_opts(self) -> dict:
+        """kwargs for ops/amg.v_cycle on the aggregation-AMG path."""
+        opts = {}
+        if self.precond_cheb > 0:
+            opts["smoother"] = "cheb"
+            opts["smooth_arg"] = self.precond_cheb
+        if self.precond_overcorrect != 1.0:
+            opts["overcorrect"] = self.precond_overcorrect
+        return opts
 
     def mom_sweeps(self, num_cells: int) -> int:
         # Measured (DESIGN.md §9b): FGMRES iterations at 1M drop 48/32/23/11
