@@ -174,13 +174,12 @@ def _kernel(W: int, K: int, C: int, NW: int, R: int, n_off: int,
     x_refs = refs[:C]                     # full-operand VMEM (n_rows, 128)
     off_refs = refs[C:C + n_off]          # (R, K, LANES) coefficient blocks
     o_refs = refs[C + n_off:]
-    b = pl.program_id(0)
     for r in range(R):
         lanes = lane_ref[r]               # (K, LANES)
         selv = sel_ref[r]
         gs = [jnp.zeros((K, LANES), jnp.float32) for _ in range(C)]
         for w in range(NW):
-            bw = bases_ref[b * R + r, w]
+            bw = bases_ref[r, w]
             for s in range(W):
                 mask = selv == w * W + s
                 for c in range(C):
@@ -259,7 +258,11 @@ def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None):
         partial(_kernel, W, K, C, NW, R, n_off, prods),
         grid=(NBp // R,),
         out_shape=out_shape,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), blk, blk]
+        # bases is blocked into SMEM per grid step: an unblocked (NBp, NW)
+        # SMEM window pads each row to 512 B and overflows the 1 MB SMEM
+        # at ~250k cells (NB>2048).
+        in_specs=[pl.BlockSpec((R, NW), lambda b: (b, 0),
+                               memory_space=pltpu.SMEM), blk, blk]
         + [pl.BlockSpec(memory_space=pltpu.VMEM)] * C
         + [blk] * n_off,
         out_specs=out_specs,
@@ -306,6 +309,117 @@ def banded_gather2_nk(x: jnp.ndarray, lane, sel, bases, W: int,
                       m_out: int | None = None) -> jnp.ndarray:
     """(M, K) gathered values through the multi-window map."""
     return banded_gather_nk(x, lane, sel, bases, W, m_out=m_out)
+
+
+def _sweeps_kernel(W: int, K: int, C: int, NW: int, R: int, S: int,
+                   bases_ref, lane_ref, sel_ref, off_ref, dinv_ref, *refs):
+    """Grid (S+1, NBp/R): phase 0 seeds z0 = D^-1 r; phase s computes
+    z_s = D^-1 (r - A_off z_{s-1}) reading the previous iterate from one
+    VMEM scratch buffer and writing the other (sequential TPU grid order
+    makes phase s-1 complete before phase s starts).  lane/sel/off stream
+    per (phase, chunk); z / r / dinv stay VMEM-resident."""
+    r_refs = refs[:C]
+    o_refs = refs[C:2 * C]
+    za_refs = refs[2 * C:3 * C]
+    zb_refs = refs[3 * C:4 * C]
+    s = pl.program_id(0)
+    b = pl.program_id(1)
+
+    def seed(dst_refs):
+        for r_i in range(R):
+            blk = b * R + r_i
+            dinv = dinv_ref[pl.ds(blk, 1), :]
+            for c in range(C):
+                z0 = dinv * r_refs[c][pl.ds(blk, 1), :]
+                dst_refs[c][pl.ds(blk, 1), :] = z0
+                o_refs[c][pl.ds(r_i, 1)] = z0
+
+    def sweep(src_refs, dst_refs):
+        for r_i in range(R):
+            blk = b * R + r_i
+            lanes = lane_ref[r_i]             # (K, LANES)
+            selv = sel_ref[r_i]
+            gs = [jnp.zeros((K, LANES), jnp.float32) for _ in range(C)]
+            for w in range(NW):
+                bw = bases_ref[r_i, w]
+                for sw in range(W):
+                    mask = selv == w * W + sw
+                    for c in range(C):
+                        src = src_refs[c][pl.ds(bw + sw, 1), :]
+                        srcb = jnp.broadcast_to(src, (K, LANES))
+                        g = jnp.take_along_axis(srcb, lanes, axis=1)
+                        gs[c] = gs[c] + jnp.where(mask, g, 0.0)
+            dinv = dinv_ref[pl.ds(blk, 1), :]
+            for c in range(C):
+                sig = jnp.sum(off_ref[r_i] * gs[c], axis=0, keepdims=True)
+                zn = dinv * (r_refs[c][pl.ds(blk, 1), :] - sig)
+                dst_refs[c][pl.ds(blk, 1), :] = zn
+                o_refs[c][pl.ds(r_i, 1)] = zn
+
+    @pl.when(s == 0)
+    def _():
+        seed(za_refs)
+
+    # z_{s} lives in za for even s, zb for odd s.
+    @pl.when(jnp.logical_and(s > 0, s % 2 == 1))
+    def _():
+        sweep(za_refs, zb_refs)
+
+    @pl.when(jnp.logical_and(s > 0, s % 2 == 0))
+    def _():
+        sweep(zb_refs, za_refs)
+
+
+@partial(jax.jit, static_argnames=("W", "sweeps", "m_out"))
+def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
+                         sweeps: int, m_out: int | None = None):
+    """``sweeps`` Jacobi iterations z = D^-1 (r - A_off z) from the seed
+    z0 = D^-1 r, all inside ONE pallas_call (the per-sweep ``banded_dot``
+    chain costs a kernel launch + full coefficient re-DMA per sweep; at
+    <=200k cells that launch overhead dominates the preconditioner).
+
+    ``rs``: tuple of (n,) right-hand sides sharing the operator; ``dinv``:
+    (n,) inverse diagonal; ``off``: (n, K) off-diagonal coefficients over
+    the banded neighbor map.  Semantics match ellsys._momentum_solve's
+    loop of banded_dot calls exactly.  Returns a tuple of (m_out,) arrays.
+    """
+    NB, K, _ = lane.shape
+    NW = bases.shape[1] if bases.ndim == 2 else 1
+    basesv = bases[:, None] if bases.ndim == 1 else bases
+    C = len(rs)
+    S = sweeps - 1
+    R = min(BLOCK_ROWS_PER_PROGRAM, NB)
+    NBp = -(-NB // R) * R
+    lane_p = _pad_blocks(lane, NBp)
+    sel_p = _pad_blocks(sel, NBp)
+    bases_p = _pad_blocks(basesv, NBp)
+    off_b = _pad_blocks(_to_blocked(off, NB, K), NBp)
+    n = rs[0].shape[0]
+    pad = NBp * LANES - n
+    dinv_r = jnp.pad(dinv.astype(jnp.float32), (0, pad)).reshape(NBp, LANES)
+    r_rs = [jnp.pad(r.astype(jnp.float32), (0, pad)).reshape(NBp, LANES)
+            for r in rs]
+    blk = pl.BlockSpec((R, K, LANES), lambda s, b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    rblk = pl.BlockSpec((R, LANES), lambda s, b: (b, 0),
+                        memory_space=pltpu.VMEM)
+    full = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_sweeps_kernel, W, K, C, NW, R, S),
+        grid=(S + 1, NBp // R),
+        out_shape=[jax.ShapeDtypeStruct((NBp, LANES), jnp.float32)] * C,
+        in_specs=[pl.BlockSpec((R, NW), lambda s, b: (b, 0),
+                               memory_space=pltpu.SMEM),
+                  blk, blk, blk, full] + [full] * C,
+        out_specs=[rblk] * C,
+        scratch_shapes=[pltpu.VMEM((NBp, LANES), jnp.float32)] * (2 * C),
+        interpret=_interpret(),
+    )(bases_p, lane_p, sel_p, off_b, dinv_r, *r_rs)
+    out = tuple(out) if isinstance(out, (tuple, list)) else (out,)
+    out = tuple(o.reshape(NBp * LANES) for o in out)
+    if m_out is not None and m_out != NBp * LANES:
+        out = tuple(o[:m_out] for o in out)
+    return out
 
 
 def banded_dot(xs, offs, lane, sel, bases, W: int, prods,

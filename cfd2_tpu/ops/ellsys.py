@@ -90,7 +90,13 @@ def _mom_dot2(es: EllSystem, mesh, z_u, z_v):
 
 def _momentum_solve(es: EllSystem, mesh, r_u, r_v, sweeps: int):
     """Jacobi momentum predict (see stencil_system._momentum_solve); u and v
-    share one fused banded dot per sweep."""
+    share one fused banded dot per sweep.  When the mesh is banded and the
+    iterate fits VMEM, ALL sweeps run inside one Pallas kernel
+    (banded_jacobi_sweeps) — at <=200k cells the per-sweep launch overhead
+    dominates the preconditioner cost."""
+    if sweeps >= 3 and mesh.banded and mesh.banded_sweeps_fit(2):
+        return mesh.banded_jacobi_sweeps((r_u, r_v), es.diag_u_inv,
+                                         es.off_mom, sweeps)
     z_u = es.diag_u_inv * r_u
     z_v = es.diag_u_inv * r_v
     for _ in range(sweeps - 1):

@@ -247,6 +247,28 @@ class DeviceMesh:
         return banded_dot(xs, offs, lane, sel, bases, W, prods,
                           m_out=self.num_cells)
 
+    def banded_sweeps_fit(self, n_comps: int) -> bool:
+        """True when the one-kernel multi-sweep Jacobi (banded_jacobi_sweeps)
+        fits VMEM: the iterate ping-pong + rhs + inverse diagonal stay
+        resident (3*C+1 row planes); lane/sel/off stream per phase."""
+        nb = -(-self.num_cells // 128)
+        resident = (3 * n_comps + 1) * nb * 128 * 4
+        return resident <= 12 * 2**20
+
+    def banded_jacobi_sweeps(self, rs, dinv, off, sweeps: int):
+        """``sweeps`` Jacobi iterations z = dinv*(r - A_off z) from the seed
+        dinv*r for each rhs in ``rs``, fused into one Pallas kernel (the
+        launch-bound fix for <=200k-cell unstructured meshes)."""
+        from ..ops.banded_gather import banded_jacobi_sweeps
+        if self.bd_W is not None:
+            lane, sel, bases, W = (self.bd_lane, self.bd_sel, self.bd_base,
+                                   self.bd_W)
+        else:
+            lane, sel, bases, W = (self.bd2_lane, self.bd2_sel,
+                                   self.bd2_bases, self.bd2_W)
+        return banded_jacobi_sweeps(tuple(rs), dinv, off, lane, sel, bases,
+                                    W, sweeps, m_out=self.num_cells)
+
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
         out = []
         for (ny, nx), off in zip(self.ml_levels, self.ml_offsets):

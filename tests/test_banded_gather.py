@@ -200,3 +200,69 @@ def test_banded_dot_nonmultiple_blocks():
                         jnp.asarray(base), W, (((0, 0),),), m_out=N)
     ref = (off * x[idx]).sum(axis=1)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# One-kernel multi-sweep Jacobi (banded_jacobi_sweeps)
+
+
+def test_banded_jacobi_sweeps_matches_loop():
+    """The fused multi-sweep kernel must reproduce the per-sweep banded_dot
+    loop (ellsys._momentum_solve semantics) exactly."""
+    from cfd2_tpu.ops.banded_gather import banded_dot, banded_jacobi_sweeps
+    rng = np.random.default_rng(12)
+    N, K = 1000, 5                       # pads to 1024 (non-multiple of 128)
+    idx = np.clip(np.arange(N)[:, None]
+                  + rng.integers(-150, 151, (N, K)), 0, N - 1)
+    lane, sel, base, W = build_banded_map(idx, N)
+    lane, sel, base = jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(base)
+    off = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32)) * 0.1
+    dinv = jnp.asarray(1.0
+                       + 0.1 * rng.standard_normal(N).astype(np.float32))
+    r_u = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+    r_v = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+
+    for sweeps in (3, 8):
+        z_u, z_v = banded_jacobi_sweeps((r_u, r_v), dinv, off, lane, sel,
+                                        base, W, sweeps, m_out=N)
+        e_u, e_v = dinv * r_u, dinv * r_v
+        for _ in range(sweeps - 1):
+            su, sv = banded_dot((e_u, e_v), (off,), lane, sel, base, W,
+                                (((0, 0),), ((0, 1),)), m_out=N)
+            e_u = dinv * (r_u - su)
+            e_v = dinv * (r_v - sv)
+        np.testing.assert_allclose(np.asarray(z_u), np.asarray(e_u),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(z_v), np.asarray(e_v),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_banded_jacobi_sweeps_two_window():
+    """Multi-window (multilevel-style) map through the fused sweep kernel."""
+    from cfd2_tpu.ops.banded_gather import (banded_dot,
+                                            banded_jacobi_sweeps,
+                                            build_banded_map2)
+    rng = np.random.default_rng(13)
+    N, K = 768, 4
+    # Two bands: local neighbors plus a far window (parent-level style).
+    near = np.arange(N)[:, None] + rng.integers(-50, 51, (N, K - 1))
+    far = (np.arange(N) // 2)[:, None] + rng.integers(-20, 21, (N, 1))
+    idx = np.clip(np.concatenate([near, far], axis=1), 0, N - 1)
+    bm = build_banded_map2(idx, N)
+    assert bm is not None
+    lane, sel, bases, W = bm
+    lane, sel, bases = jnp.asarray(lane), jnp.asarray(sel), jnp.asarray(bases)
+    off = jnp.asarray(rng.standard_normal((N, K)).astype(np.float32)) * 0.1
+    dinv = jnp.asarray(1.0
+                       + 0.1 * rng.standard_normal(N).astype(np.float32))
+    r = jnp.asarray(rng.standard_normal(N).astype(np.float32))
+
+    (z,) = banded_jacobi_sweeps((r,), dinv, off, lane, sel, bases, W, 4,
+                                m_out=N)
+    e = dinv * r
+    for _ in range(3):
+        (s,) = banded_dot((e,), (off,), lane, sel, bases, W, (((0, 0),),),
+                          m_out=N)
+        e = dinv * (r - s)
+    np.testing.assert_allclose(np.asarray(z), np.asarray(e),
+                               rtol=1e-5, atol=1e-6)
