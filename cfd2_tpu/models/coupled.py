@@ -207,10 +207,14 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
         precond = lambda r: el.schur_precond(
             es, mesh, r, config.precond_omega, n_sweeps,
             pressure_solve=ps, mom_sweeps=ms)
+        # Solve vectors run component-major (3, N): interleaved (N, 3)
+        # tile-pads its lane dim 42x and relayouts at every loop op
+        # (measured 3.1 -> 0.65 ms/iter bare-loop at 403k).  One transpose
+        # each way per solve.
         x0 = (x_guess if x_guess is not None else
               jnp.concatenate([state.u, state.p[:, None]], axis=1))
-        return fgmres_solve(
-            lambda x: el.spmv(es, mesh, x), precond, es.rhs, x0,
+        result = fgmres_solve(
+            lambda x: el.spmv(es, mesh, x), precond, es.rhs.T, x0.T,
             restart=config.fgmres_restart,
             max_restarts=config.fgmres_max_restarts,
             tol=config.fgmres_tol if tol is None else tol,
@@ -221,6 +225,7 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             f64_norms=config.fgmres_f64_norms,
             incycle_window=config.fgmres_incycle_window,
             incycle_tol=config.fgmres_incycle_tol)
+        return replace(result, x=result.x.T)
 
     sys = assemble_coupled(mesh, state, params, config)
     if config.precond_type == PRECOND_AMG and amg is not None:

@@ -65,12 +65,15 @@ def test_ellsys_matches_blockell():
 
     x = jnp.asarray(rng.standard_normal((s.mesh.num_cells, 3)), jnp.float32)
     y_block = np.asarray(block_spmv(sysb, s.mesh, x))
-    y_ell = np.asarray(el.spmv(es, s.mesh, x))
+    # ellsys runs component-major (3, N) — the interleaved (N, 3) form
+    # tile-pads 42x and relayouts in the solver loop.
+    y_ell = np.asarray(el.spmv(es, s.mesh, x.T)).T
     np.testing.assert_allclose(y_ell, y_block, rtol=1e-6, atol=1e-6)
 
     z_block = np.asarray(schur_preconditioner(
         sysb, s.mesh, x, 1.2, 8, mom_sweeps=3))
-    z_ell = np.asarray(el.schur_precond(es, s.mesh, x, 1.2, 8, mom_sweeps=3))
+    z_ell = np.asarray(el.schur_precond(es, s.mesh, x.T, 1.2, 8,
+                                        mom_sweeps=3)).T
     np.testing.assert_allclose(z_ell, z_block, rtol=2e-5, atol=2e-5)
 
     np.testing.assert_allclose(np.asarray(es.rhs), np.asarray(sysb.rhs))

@@ -66,7 +66,7 @@ def main():
     # stationary cycle diverges on the near-null constant mode regardless,
     # but FGMRES only cares about eigenvalue clustering).
     n_sweeps = config.pressure_sweeps(dm.num_cells)
-    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
+    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1).T
     for name, opts in VARIANTS:
         ps = make_pressure_solve(hier, dm, es, cycle_opts=opts)
 
@@ -79,10 +79,10 @@ def main():
             return fgmres_solve(mv, pc, rhs, x0v,
                                 restart=config.fgmres_restart,
                                 max_restarts=5, tol=1e-5, abstol=1e-7)
-        res = solve(es.rhs, x0)
+        res = solve(es.rhs.T, x0)
         int(res.iterations)
         t0 = time.time()
-        res = solve(es.rhs, x0)
+        res = solve(es.rhs.T, x0)
         it = int(res.iterations)
         el_s = time.time() - t0 - 0.030
         print(f"solve[{name:14s}] {el_s*1e3:.0f} ms iters={it} "

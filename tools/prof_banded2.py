@@ -87,7 +87,7 @@ def main():
     n_sweeps = config.pressure_sweeps(dm.num_cells)
     ps = make_pressure_solve(hier, dm, es)
     x = state.u[:, 0]
-    r3 = jnp.stack([x, x * 0.5, x * 0.25], axis=1)
+    r3 = jnp.stack([x, x * 0.5, x * 0.25], axis=0)
 
     @jax.jit
     def vc10(r):
@@ -124,11 +124,11 @@ def main():
                                          mom_sweeps=ms)
         return fgmres_solve(mv, pc, rhs, x0, restart=config.fgmres_restart,
                             max_restarts=3, tol=1e-5, abstol=1e-7)
-    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1)
-    res = solve(es.rhs, x0)
+    x0 = jnp.concatenate([state.u, state.p[:, None]], axis=1).T
+    res = solve(es.rhs.T, x0)
     it = int(res.iterations)
     t0 = time.time()
-    res = solve(es.rhs, x0)
+    res = solve(es.rhs.T, x0)
     it = int(res.iterations)
     elpsd = time.time() - t0 - SYNC
     print(f"solve m{ms}: {elpsd*1e3:.0f} ms iters={it} "
