@@ -386,6 +386,14 @@ def _multilevel_layout(mesh: Mesh):
     dev_of_host = offs[lev] + gj * nxs[lev] + gi
     if len(np.unique(dev_of_host)) != len(dev_of_host):
         return None                 # inconsistent metadata
+    if off > 6 * mesh.num_cells:
+        # The embedded layout allocates every level as a FULL grid; with
+        # refinement localized to a small region the slot waste dominates
+        # (0.002/0.008 channel-obstacle: 984k slots for 80k cells — the
+        # generic RCM-banded path is ~10x faster there).  Keep the
+        # embedding only while slots stay within ~6x the real cells
+        # (0.01/0.04: 4.5x waste, multilevel 140k vs generic <100k c-u/s).
+        return None
     return tuple(shapes), offsets, off, dev_of_host
 
 
@@ -694,9 +702,19 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
             bd_base = jnp.asarray(base_a, jnp.int32)
     elif ml is not None:
         from ..ops.banded_gather import build_banded_map2
-        bl2 = build_banded_map2(ck_neighbor, N_dev)
-        if bl2 is not None:
-            lane_a, sel_a, bases_a, bd2_W = bl2
+        # Kernel cost per gather is ~ NW * W candidate rows; search a small
+        # ladder and keep the cheapest map that builds (deeply refined
+        # meshes need more windows than the 3-window default — at
+        # 0.002/0.008 the 3-window map does not exist under w_max=16 and
+        # the mesh silently fell back to the ~100x-slow XLA gather path).
+        best = None
+        for nw in (2, 3, 4, 5, 6):
+            bl2 = build_banded_map2(ck_neighbor, N_dev, n_windows=nw)
+            if bl2 is not None and (best is None
+                                    or nw * bl2[3] < best[0] * best[1][3]):
+                best = (nw, bl2)
+        if best is not None:
+            lane_a, sel_a, bases_a, bd2_W = best[1]
             bd2 = (jnp.asarray(lane_a, jnp.int32),
                    jnp.asarray(sel_a, jnp.int32),
                    jnp.asarray(bases_a, jnp.int32))
