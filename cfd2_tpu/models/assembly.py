@@ -170,6 +170,50 @@ def compute_slot_fluxes(mesh: DeviceMesh, state: SolverState,
     return jnp.stack(cols, axis=1)
 
 
+def compute_banded_slot_fluxes(mesh: DeviceMesh, state: SolverState,
+                               params: SolverParams, time: jnp.ndarray):
+    """Generic-banded-path fluxes in slot layout (N, K), outward-positive,
+    from ONE shared multi-component neighbor gather (u, p, d_p, grad_p).
+
+    Every slot evaluates the internal Rhie–Chow formula directly; per-face
+    antisymmetry is *bitwise exact* without a pair scatter because the
+    symmetric interpolation uses the partner entry's own lambda
+    (``ck_lam_other``, bitwise equal to what the other side computes) and
+    every remaining term is an exact f32 negation across the pair (normals
+    are exact negations, area/dist_proj are bitwise shared, and f32
+    negation/commutativity are exact).  Face-parallel reference formula:
+    prepare_coupled.wgsl:120-195.
+
+    Returns ``(flux, p_other, u_other)`` so prepare's Green–Gauss gradients
+    reuse the gathered planes.
+    """
+    packed = jnp.concatenate(
+        [state.u, state.p[:, None], state.d_p[:, None], state.grad_p],
+        axis=1)                                        # (N, 6)
+    g = mesh.gather(packed)                            # (N, K, 6)
+    u_n = g[..., 0:2]
+    p_n = g[..., 2]
+    dp_n = g[..., 3]
+    gp_n = g[..., 4:6]
+
+    lam = mesh.ck_lam
+    lam_o = mesh.ck_lam_other
+    u_face = lam[..., None] * state.u[:, None, :] + lam_o[..., None] * u_n
+    dp_face = lam * state.d_p[:, None] + lam_o * dp_n
+    gp_face = lam[..., None] * state.grad_p[:, None, :] \
+        + lam_o[..., None] * gp_n
+
+    gpn = gp_face[..., 0] * mesh.ck_nx + gp_face[..., 1] * mesh.ck_ny
+    p_grad = (p_n - state.p[:, None]) / mesh.ck_dist_proj
+    rc = dp_face * mesh.ck_area * (gpn - p_grad)
+    un_face = u_face[..., 0] * mesh.ck_nx + u_face[..., 1] * mesh.ck_ny
+    fl_int = params.density * (un_face * mesh.ck_area + rc)
+
+    fl_bdry = _boundary_slot_fluxes(mesh, state, params, time)
+    flux = jnp.where(mesh.ck_is_boundary > 0, fl_bdry, fl_int) * mesh.ck_mask
+    return flux, p_n, u_n
+
+
 def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             config: SolverConfig) -> SolverState:
     """Fused pre-pass: fluxes, d_p, grad_p, grad_u, grad_v.
@@ -177,8 +221,16 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     Uses the *incoming* state's d_p/grad_p in the Rhie–Chow flux (like the
     reference, which reads them before overwriting).
     """
+    p_other = u_other = None
     if mesh.structured or mesh.multilevel:
         flux = compute_slot_fluxes(mesh, state, params, state.time)
+        flux_out = flux
+    elif mesh.banded:
+        # Slot-form fluxes through the banded Pallas gather: the face-
+        # parallel XLA gathers + slot scatter were 77 ms/outer at 294k
+        # cells — the single largest per-outer cost on this path.
+        flux, p_other, u_other = compute_banded_slot_fluxes(
+            mesh, state, params, state.time)
         flux_out = flux
     else:
         flux = compute_fluxes(mesh, state, params, state.time)
@@ -198,7 +250,8 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     # --- Green-Gauss gradients (prepare_coupled.wgsl:256-347) ---
     lam = mesh.ck_lam
     p_this = state.p[:, None]
-    p_other = mesh.gather(state.p)
+    if p_other is None:
+        p_other = mesh.gather(state.p)
     pf_internal = lam * p_this + (1.0 - lam) * p_other
     pf_bdry = jnp.where(bdry == 2, 0.0, p_this)            # outlet: p = 0
     p_face = jnp.where(is_b > 0, pf_bdry, pf_internal) * mask
@@ -209,7 +262,8 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     ], axis=1)
 
     u_bc = _inlet_velocity(params, state.time)
-    u_other = mesh.gather(state.u)                         # (N, K, 2)
+    if u_other is None:
+        u_other = mesh.gather(state.u)                     # (N, K, 2)
     for_comp = []
     for comp in (0, 1):
         v_this = state.u[:, comp][:, None]
@@ -233,7 +287,17 @@ def _deferred_correction(mesh, state, flux, config):
     over internal slots, to be subtracted from the RHS."""
     upwind_own = flux > 0.0
 
-    u_other2 = mesh.gather(state.u)          # (N, K, 2)
+    if mesh.structured:
+        u_other2 = mesh.gather(state.u)      # (N, K, 2)
+        gu_other = mesh.gather(state.grad_u)
+        gv_other = mesh.gather(state.grad_v)
+    else:
+        # One shared multi-component gather (banded kernels share the
+        # index-plane reads across components).
+        packed = jnp.concatenate([state.u, state.grad_u, state.grad_v],
+                                 axis=1)     # (N, 6)
+        g = mesh.gather(packed)
+        u_other2, gu_other, gv_other = g[..., 0:2], g[..., 2:4], g[..., 4:6]
     u_this = state.u[:, 0][:, None]
     v_this = state.u[:, 1][:, None]
     u_other = u_other2[..., 0]
@@ -244,8 +308,6 @@ def _deferred_correction(mesh, state, flux, config):
 
     gu_this = state.grad_u[:, None, :]        # (N, 1, 2)
     gv_this = state.grad_v[:, None, :]
-    gu_other = mesh.gather(state.grad_u)      # (N, K, 2)
-    gv_other = mesh.gather(state.grad_v)
 
     if config.scheme == SCHEME_SECOND_ORDER_UPWIND:
         # r vector from the upwind cell's center to the face center.

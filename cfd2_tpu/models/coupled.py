@@ -56,7 +56,7 @@ def _solve_linear(mesh, sys, state, config, n_sweeps, pressure_solve=None,
         # diagonal.
         if config.precond_mom_sweeps > 0:
             ms = config.precond_mom_sweeps
-        elif mesh.bd_W is not None:
+        elif mesh.banded:
             ms = config.mom_sweeps(mesh.num_cells)
         else:
             ms = 1
@@ -182,9 +182,7 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
                           config.fgmres_abstol, False)
         return replace(result, x=st.from_planar(ss, result.x))
 
-    if (mesh.bd_W is not None
-            or (mesh.multilevel and mesh.bd2_W is not None)) \
-            and config.precond_type != PRECOND_BLOCK_JACOBI:
+    if mesh.banded and config.precond_type != PRECOND_BLOCK_JACOBI:
         # Banded (unstructured) path: scalar-coefficient system + banded
         # Pallas gathers (ops/ellsys.py) — skips the (N, K, 3, 3) block
         # materialization whose tile-padded minor dims cost ~10x the useful

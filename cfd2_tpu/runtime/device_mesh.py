@@ -94,6 +94,13 @@ class DeviceMesh:
     ck_ny: jnp.ndarray
     ck_area: jnp.ndarray
     ck_lam: jnp.ndarray           # own-side weight: d_other/(d_own+d_other)
+    # The partner entry's own lam (d_own/(d_own+d_other)), bitwise equal to
+    # what the other side of the face computes.  Interpolating with
+    # (lam, lam_other) instead of (lam, 1-lam) makes the symmetric face
+    # interpolation BITWISE identical from both sides, so per-side flux
+    # evaluation on the generic banded path is exactly antisymmetric (the
+    # other flux terms are exact f32 negations across the pair).
+    ck_lam_other: jnp.ndarray
     ck_dist_proj: jnp.ndarray     # max(|d . n|, 1e-6)
     ck_dist: jnp.ndarray          # plain |other - this center|
     ck_rx: jnp.ndarray            # f_center - this center
@@ -136,7 +143,8 @@ class DeviceMesh:
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
         "c_cx", "c_cy", "c_vol", "c_valid", "grid_of_cell",
         "ck_face", "ck_mask", "ck_sign", "ck_neighbor", "ck_is_boundary",
-        "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_dist_proj",
+        "ck_boundary", "ck_nx", "ck_ny", "ck_area", "ck_lam", "ck_lam_other",
+        "ck_dist_proj",
         "ck_dist", "ck_rx", "ck_ry", "ck_dcdx", "ck_dcdy",
         "ml_exc_cell", "ml_exc_slot", "ml_exc_src", "ck_mirror",
         "bd_lane", "bd_sel", "bd_base",
@@ -224,6 +232,11 @@ class DeviceMesh:
             from ..ops.banded_gather import banded_gather_nk
             return banded_gather_nk(x, self.bd_lane, self.bd_sel,
                                     self.bd_base, self.bd_W)
+        if self.bd2_W is not None:     # generic mesh with a multi-window map
+            from ..ops.banded_gather import banded_gather2_nk
+            return banded_gather2_nk(x, self.bd2_lane, self.bd2_sel,
+                                     self.bd2_bases, self.bd2_W,
+                                     m_out=self.num_cells)
         return x[self.ck_neighbor]
 
     @property
@@ -300,8 +313,8 @@ class DeviceMesh:
         generic mode stores one value per face (owner-outward) and signs it
         per side.
         """
-        if self.structured or self.multilevel:
-            return fluxes
+        if self.structured or self.multilevel or fluxes.ndim == 2:
+            return fluxes                # already in slot layout
         return fluxes[self.ck_face] * self.ck_sign
 
     def to_host_order(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -634,6 +647,10 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     d_other = np.hypot(oc_x - fc_x, oc_y - fc_y)
     tot = d_this + d_other
     lam = np.where(tot > 1e-6, d_other / np.maximum(tot, 1e-300), 0.5)
+    # The partner's own lam: its d_other is our d_this and its tot is the
+    # same f64 sum, so this expression is bitwise equal to the lam the other
+    # side's entry stores (see ck_lam_other in DeviceMesh).
+    lam_other = np.where(tot > 1e-6, d_this / np.maximum(tot, 1e-300), 0.5)
 
     dvx = oc_x - this_cx
     dvy = oc_y - this_cy
@@ -693,9 +710,26 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     bd2 = (None,) * 3
     bd2_W = None
     if grid_shape is None and ml is None and N_dev % 128 == 0:
-        from ..ops.banded_gather import build_banded_map
+        from ..ops.banded_gather import build_banded_map, build_banded_map2
         bl = build_banded_map(ck_neighbor, N_dev)
-        if bl is not None:
+        # Kernel cost per gather is ~ NW * W candidate rows.  RCM level
+        # sets put a block's neighbors in ~3 clusters (previous / same /
+        # next level set), so a multi-window map is often much cheaper
+        # than one window spanning all three (voronoi 294k: W=17 single
+        # vs 3x3 multi).  Pick the cheapest map that builds.
+        best2 = None
+        for nw in (2, 3, 4):
+            bl2 = build_banded_map2(ck_neighbor, N_dev, n_windows=nw)
+            if bl2 is not None and (best2 is None
+                                    or nw * bl2[3] < best2[0] * best2[1][3]):
+                best2 = (nw, bl2)
+        if best2 is not None and (bl is None
+                                  or best2[0] * best2[1][3] < bl[3]):
+            lane_a, sel_a, bases_a, bd2_W = best2[1]
+            bd2 = (jnp.asarray(lane_a, jnp.int32),
+                   jnp.asarray(sel_a, jnp.int32),
+                   jnp.asarray(bases_a, jnp.int32))
+        elif bl is not None:
             lane_a, sel_a, base_a, bd_W = bl
             bd_lane = jnp.asarray(lane_a, jnp.int32)
             bd_sel = jnp.asarray(sel_a, jnp.int32)
@@ -768,6 +802,7 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         ck_nx=as_f(scat(nrm_x)), ck_ny=as_f(scat(nrm_y)),
         ck_area=as_f(scat(area)),
         ck_lam=as_f(scat(lam, 0.5)),
+        ck_lam_other=as_f(scat(lam_other, 0.5)),
         ck_dist_proj=as_f(scat(dist_proj, 1.0)),
         ck_dist=as_f(scat(dist, 1.0)),
         ck_rx=as_f(scat(fc_x - this_cx)), ck_ry=as_f(scat(fc_y - this_cy)),

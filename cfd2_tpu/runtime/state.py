@@ -280,7 +280,10 @@ def initial_state(mesh, u0=None, p0=None, dtype=jnp.float32,
         p = mesh.from_host_order(p0) if host_order else p0
     z = jnp.zeros((N,), dtype)
     z2 = jnp.zeros((N, 2), dtype)
-    flux_shape = ((N, mesh.max_faces) if mesh.structured or mesh.multilevel
+    # Slot layout everywhere except the generic non-banded fallback (which
+    # keeps the reference's one-value-per-face storage, prepare_coupled.wgsl).
+    flux_shape = ((N, mesh.max_faces)
+                  if mesh.structured or mesh.multilevel or mesh.banded
                   else (mesh.num_faces,))
     return SolverState(
         u=u, p=p, d_p=z, grad_p=z2, grad_u=z2, grad_v=z2,

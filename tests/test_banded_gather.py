@@ -266,3 +266,32 @@ def test_banded_jacobi_sweeps_two_window():
         e = dinv * (r - s)
     np.testing.assert_allclose(np.asarray(z), np.asarray(e),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_generic_mesh_multiwindow_dispatch():
+    """A generic (non-multilevel) DeviceMesh whose banded map is the
+    multi-window form must gather through the bd2 planes identically to the
+    plain XLA neighbor gather (runtime/device_mesh.py gather(): generic
+    meshes may carry bd2 when NW*W beats the single-window span)."""
+    from dataclasses import replace
+
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_voronoi_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+    from cfd2_tpu.ops.banded_gather import build_banded_map2
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_voronoi_mesh(geo, 0.04, 0.04, 1.2, (3.0, 1.0), seed=3)
+    dm = CoupledSolver(mesh).mesh
+    assert dm.bd_W is not None
+    ref = np.asarray(dm.gather(jnp.arange(dm.num_cells, dtype=jnp.float32)))
+
+    bl2 = build_banded_map2(np.asarray(dm.ck_neighbor), dm.num_cells,
+                            n_windows=2)
+    assert bl2 is not None
+    lane, sel, bases, W2 = bl2
+    dm2 = replace(dm, bd_lane=None, bd_sel=None, bd_base=None, bd_W=None,
+                  bd2_lane=jnp.asarray(lane), bd2_sel=jnp.asarray(sel),
+                  bd2_bases=jnp.asarray(bases), bd2_W=W2)
+    assert dm2.banded and not dm2.multilevel
+    out = np.asarray(dm2.gather(jnp.arange(dm.num_cells, dtype=jnp.float32)))
+    np.testing.assert_array_equal(out, ref)

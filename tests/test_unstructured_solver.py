@@ -77,3 +77,57 @@ def test_ellsys_matches_blockell():
     np.testing.assert_allclose(z_ell, z_block, rtol=2e-5, atol=2e-5)
 
     np.testing.assert_allclose(np.asarray(es.rhs), np.asarray(sysb.rhs))
+
+
+def test_banded_slot_fluxes_exact_antisymmetry():
+    """The generic banded path computes fluxes in slot layout per side; the
+    symmetric interpolation uses the partner's own lambda (ck_lam_other), so
+    per-face mass-flux antisymmetry must be BITWISE exact (matching the
+    reference's one-value-per-face storage, prepare_coupled.wgsl:120-195),
+    and the values must match the face-parallel formula."""
+    from dataclasses import replace
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_delaunay_mesh
+    from cfd2_tpu.models.assembly import compute_fluxes, prepare
+    from cfd2_tpu.models.coupled import CoupledSolver
+    from cfd2_tpu.runtime.state import initial_state
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_delaunay_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0), seed=3)
+    s = CoupledSolver(mesh)
+    dm = s.mesh
+    assert dm.banded, "test mesh must take the banded path"
+    rng = np.random.default_rng(0)
+    N = dm.num_cells
+    s.set_dt(0.01)
+    st = initial_state(
+        dm, u0=rng.standard_normal((N, 2)).astype(np.float32) * 0.1,
+        p0=rng.standard_normal(N).astype(np.float32) * 0.1,
+        host_order=False)
+    st = replace(
+        st, d_p=jnp.asarray(rng.random(N).astype(np.float32)),
+        grad_p=jnp.asarray(rng.standard_normal((N, 2)).astype(np.float32)))
+    flux = np.asarray(prepare(dm, st, s.params, s.config).fluxes)
+    assert flux.shape == (N, dm.max_faces)
+
+    # Pair up the two (cell, slot) entries of every internal face.
+    ckf = np.asarray(dm.ck_face)
+    int_ent = np.argwhere((np.asarray(dm.ck_mask) > 0)
+                          & (np.asarray(dm.ck_is_boundary) == 0))
+    face_of = ckf[int_ent[:, 0], int_ent[:, 1]]
+    order = np.argsort(face_of, kind="stable")
+    int_ent = int_ent[order]
+    assert (face_of[order][0::2] == face_of[order][1::2]).all()
+    fa = flux[int_ent[0::2, 0], int_ent[0::2, 1]]
+    fb = flux[int_ent[1::2, 0], int_ent[1::2, 1]]
+    assert np.abs(fa + fb).max() == 0.0          # bitwise
+
+    # Value parity with the face-parallel reference formula.
+    ff = np.asarray(compute_fluxes(dm, st, s.params, st.time))
+    slot_ff = ff[ckf] * np.asarray(dm.ck_sign)
+    sel = (np.asarray(dm.ck_mask) > 0) & (np.asarray(dm.ck_is_boundary) == 0)
+    rel = np.abs(flux - slot_ff)[sel] / (np.abs(slot_ff[sel]) + 1e-6)
+    assert rel.max() < 1e-4
