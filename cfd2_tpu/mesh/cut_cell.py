@@ -316,14 +316,36 @@ def generate_cut_cell_mesh(geo: Geometry, min_cell_size: float, max_cell_size: f
     if n_cells:
         lsz_x = maxs[cell_leaf, 0] - mins[cell_leaf, 0]
         lsz_y = maxs[cell_leaf, 1] - mins[cell_leaf, 1]
-        h0 = float(lsz_x.min())
-        ratio = lsz_x / h0
-        lev = np.round(np.log2(np.maximum(ratio, 1e-300))).astype(np.int64)
+        dx_dom = float(domain_size[0])
+        dy_dom = float(domain_size[1])
+        # Tiles on the domain's max-x/max-y edge are clipped
+        # (quadtree.refine_leaves:32-33), so their size is NOT the level
+        # size; infer the level from the unclipped dimension.  Without this
+        # any domain whose extent is not an integer multiple of the cell
+        # size (e.g. the 1M flagship: 3.0 / 0.0017 = 1764.7 columns) lost
+        # provenance entirely and smoothed meshes fell off the structured
+        # fast path.
+        clip_x = maxs[cell_leaf, 0] >= dx_dom - 1e-12
+        clip_y = maxs[cell_leaf, 1] >= dy_dom - 1e-12
+        interior = np.concatenate([lsz_x[~clip_x], lsz_y[~clip_y]])
+        h0 = float(interior.min()) if len(interior) else float(lsz_x.min())
+        # Unclipped size where available; for the (rare) corner tile clipped
+        # in both dims, lsz <= sz, so ceil(log2) recovers the level.
+        usz = np.where(~clip_x, lsz_x, np.where(~clip_y, lsz_y,
+                                                np.maximum(lsz_x, lsz_y)))
+        ratio = usz / h0
+        lev = np.where(
+            clip_x & clip_y,
+            np.ceil(np.log2(np.maximum(ratio, 1e-300)) - 1e-9),
+            np.round(np.log2(np.maximum(ratio, 1e-300)))).astype(np.int64)
         sz = h0 * (2.0 ** lev)
         gi = np.round(mins[cell_leaf, 0] / sz)
         gj = np.round(mins[cell_leaf, 1] / sz)
-        ok = (np.abs(lsz_x - sz) < 1e-9 * sz).all() \
-            and (np.abs(lsz_y - sz) < 1e-9 * sz).all() \
+        size_ok_x = (np.abs(lsz_x - sz) < 1e-9 * sz) \
+            | (clip_x & (lsz_x <= sz * (1 + 1e-9)))
+        size_ok_y = (np.abs(lsz_y - sz) < 1e-9 * sz) \
+            | (clip_y & (lsz_y <= sz * (1 + 1e-9)))
+        ok = size_ok_x.all() and size_ok_y.all() \
             and (np.abs(gi * sz - mins[cell_leaf, 0]) < 1e-9 * sz).all() \
             and (np.abs(gj * sz - mins[cell_leaf, 1]) < 1e-9 * sz).all()
         if ok:

@@ -33,6 +33,12 @@ def refine_leaves(geo, min_size: float, max_cell_size: float,
     y1 = np.minimum(y0 + max_cell_size, dy)
     mins = np.stack([x0, y0], axis=-1)
     maxs = np.stack([x1, y1], axis=-1)
+    # Logical (unclipped power-of-2) tile size: splits MUST bisect the
+    # logical box, not the domain-clipped one, or the clipped edge tiles'
+    # children land off the level grid (breaking quadtree provenance and
+    # hanging-node pairing whenever the domain extent is not an integer
+    # multiple of the cell size).
+    usz = np.full(len(mins), max_cell_size)
 
     done_mins = []
     done_maxs = []
@@ -40,7 +46,7 @@ def refine_leaves(geo, min_size: float, max_cell_size: float,
     for _level in range(64):
         if len(mins) == 0:
             break
-        size = np.maximum(maxs[:, 0] - mins[:, 0], maxs[:, 1] - mins[:, 1])
+        size = usz
         refinable = size > min_size * 1.001
 
         cx = np.stack([mins[:, 0], maxs[:, 0], maxs[:, 0], mins[:, 0]], axis=-1)
@@ -64,21 +70,21 @@ def refine_leaves(geo, min_size: float, max_cell_size: float,
             break
 
         smin = mins[split]
-        smax = maxs[split]
-        ctr = 0.5 * (smin + smax)
-        # 4 children per split leaf.
+        su = usz[split]
+        half = 0.5 * su
+        ctr = smin + half[:, None]            # logical center
+        # 4 children per split leaf: logical quadrants clipped to the
+        # domain; fully-outside children are dropped.
         c_min = np.concatenate([
             smin,
             np.stack([ctr[:, 0], smin[:, 1]], axis=-1),
             np.stack([smin[:, 0], ctr[:, 1]], axis=-1),
             ctr,
         ])
-        c_max = np.concatenate([
-            ctr,
-            np.stack([smax[:, 0], ctr[:, 1]], axis=-1),
-            np.stack([ctr[:, 0], smax[:, 1]], axis=-1),
-            smax,
-        ])
-        mins, maxs = c_min, c_max
+        c_half = np.concatenate([half] * 4)
+        c_max = np.minimum(c_min + c_half[:, None],
+                           np.asarray([dx, dy])[None, :])
+        inside = (c_max > c_min + 1e-12 * c_half[:, None]).all(axis=1)
+        mins, maxs, usz = c_min[inside], c_max[inside], c_half[inside]
 
     return np.concatenate(done_mins), np.concatenate(done_maxs)

@@ -100,3 +100,29 @@ def test_voronoi_quality_after_smoothing(geo):
     # vertices sit on the domain box where sdf==0 as well.
     err = _np.abs(geo.sdf(m.vx[fixed], m.vy[fixed]))
     assert err.max() <= 1e-3, f"boundary fidelity {err.max():.2e}"
+
+
+def test_provenance_survives_clipped_domain_edge():
+    """Quadtree provenance (cell_level/gi/gj) must survive domains whose
+    extent is NOT an integer multiple of the cell size: the right/top edge
+    tiles are clipped (quadtree.refine_leaves), and without edge-aware level
+    inference the 1M flagship (3.0 / 0.0017 = 1764.7 columns) lost
+    provenance, so *smoothed* meshes fell off the structured fast path."""
+    import numpy as np
+
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.runtime.device_mesh import encode_mesh
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    # 3.0 / 0.07 = 42.86 columns, 1.0 / 0.07 = 14.3 rows: both edges clipped.
+    mesh = generate_cut_cell_mesh(geo, 0.07, 0.07, 1.2, (3.0, 1.0))
+    assert mesh.cell_level is not None, "clipped edge tiles lost provenance"
+    assert (mesh.cell_level == mesh.cell_level[0]).all()
+    mesh.smooth(geo, 0.3, 50)
+    dm = encode_mesh(mesh)
+    assert dm.structured, "smoothed clipped-domain mesh fell off the " \
+        "structured fast path"
+    # And a refined clipped-domain mesh keeps multilevel provenance.
+    mesh2 = generate_cut_cell_mesh(geo, 0.035, 0.14, 1.2, (3.0, 1.0))
+    assert mesh2.cell_level is not None
+    assert mesh2.cell_level.max() > mesh2.cell_level.min()
