@@ -54,7 +54,10 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
               else (f"multilevel-banded(W={s.mesh.bd2_W})"
                     if s.mesh.bd2_W is not None else "multilevel")
               if s.mesh.multilevel
-              else f"banded(W={s.mesh.bd_W})" if s.mesh.bd_W is not None
+              else (f"banded-grouped(wgs={s.mesh.bd_wgs[0]})"
+                    if s.mesh.bd_wgs is not None
+                    else f"banded(W={s.mesh.bd_W})")
+              if s.mesh.bd_W is not None
               else "generic")
     print(json.dumps({
         "mesh": min_cell if not max_cell else f"{min_cell}/{max_cell}",

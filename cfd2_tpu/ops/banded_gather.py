@@ -98,6 +98,72 @@ def build_banded_map(idx: np.ndarray, n_src: int, w_max: int = 40):
     return lane, sel, base, W
 
 
+def build_banded_map_grouped(idx: np.ndarray, n_src: int, w_max: int = 40,
+                             group: int = 2):
+    """Compile an (M, K) index map whose rows are SORTED ascending into
+    per-slot-group banded planes.
+
+    A window map walks NW*W candidate rows per block, gathering all K slots
+    each step; when each row's slots are sorted by source index, slot k
+    holds the k-th order statistic, whose per-block span is far narrower
+    than the whole band (voronoi at 294k: W=17 single-window vs ~4 per
+    sorted slot).  Slots are walked in groups of ``group`` (single-slot
+    (1, LANES) gathers lower to a form Mosaic rejects); group g walks its
+    own static step count wgs[g].
+
+    Returns ``(lane, sel, bases, wgs)`` — lane/sel (NB, K, 128) int32,
+    bases (NB, G) int32, wgs a static tuple of per-group walk lengths —
+    or None when some group's span exceeds ``w_max``.
+    """
+    idx = np.asarray(idx, dtype=np.int64)
+    M, K = idx.shape
+    if K < 2:
+        return None
+    NB = (M + LANES - 1) // LANES
+    Mp = NB * LANES
+    if Mp != M:
+        fill = idx[M - 1, 0]
+        idx = np.concatenate(
+            [idx, np.full((Mp - M, K), fill, np.int64)], axis=0)
+    n_rows = (n_src + LANES - 1) // LANES
+
+    sb = (idx // LANES).reshape(NB, LANES, K)
+    lane = (idx % LANES).reshape(NB, LANES, K).astype(np.int32)
+
+    # Slot groups: pairs; an odd K folds the last slot into the final group.
+    bounds = [(k0, min(k0 + group, K)) for k0 in range(0, K, group)]
+    if len(bounds) > 1 and bounds[-1][1] - bounds[-1][0] == 1:
+        bounds[-2] = (bounds[-2][0], K)
+        bounds.pop()
+    G = len(bounds)
+    bases = np.zeros((NB, G), np.int32)
+    wgs = []
+    sel = np.zeros_like(sb, dtype=np.int32)
+    for g, (k0, k1) in enumerate(bounds):
+        sub = sb[:, :, k0:k1]
+        lo = sub.min(axis=(1, 2))
+        hi = sub.max(axis=(1, 2))
+        wg = int((hi - lo).max()) + 1
+        if wg > w_max:
+            return None
+        wg = min(wg, n_rows)
+        base = np.minimum(lo, max(n_rows - wg, 0))
+        bases[:, g] = base
+        sel[:, :, k0:k1] = sub - base[:, None, None]
+        wgs.append(wg)
+        assert (sel[:, :, k0:k1] >= 0).all() and (sel[:, :, k0:k1] < wg).all()
+    lane = np.ascontiguousarray(lane.transpose(0, 2, 1))
+    sel = np.ascontiguousarray(sel.transpose(0, 2, 1))
+    slot_bounds = tuple(bounds)
+    return lane, sel, bases, (tuple(wgs), slot_bounds)
+
+
+def grouped_cost(wgs) -> int:
+    """Row-gathers per destination block for a grouped map's walk."""
+    lens, bounds = wgs
+    return sum(w * (k1 - k0) for w, (k0, k1) in zip(lens, bounds))
+
+
 def build_banded_map2(idx: np.ndarray, n_src: int, w_max: int = 16,
                       n_windows: int = 3):
     """Compile an (M, K) index map into multi-window banded-gather planes.
@@ -169,7 +235,48 @@ def build_banded_map2(idx: np.ndarray, n_src: int, w_max: int = 16,
 # either plain gather outputs (prods=None) or fused coefficient dots.
 
 
-def _kernel(W: int, K: int, C: int, NW: int, R: int, n_off: int,
+def _plan_windows(K: int, NW: int, W: int):
+    """The window-map walk: every step gathers all K slots from one source
+    row; sel holds w * W + s."""
+    steps = tuple((w, s, w * W + s) for w in range(NW) for s in range(W))
+    return ((0, K, steps),)
+
+
+def _plan_groups(wgs):
+    """The sorted-slot grouped walk: group g covers slots [k0, k1) and
+    walks its own wgs[g] rows; sel holds the in-group offset."""
+    lens, bounds = wgs
+    return tuple((k0, k1, tuple((g, s, s) for s in range(lens[g])))
+                 for g, (k0, k1) in enumerate(bounds))
+
+
+def _accum_groups(plan, C, read_base, lanes, selv, x_refs):
+    """Walk ``plan`` for one destination block: returns per-component
+    (K, LANES) gathered values.  ``read_base(col)`` reads one SMEM base
+    scalar; ``lanes`` / ``selv`` (K, LANES) arrays already read from
+    VMEM."""
+    parts = [[] for _ in range(C)]
+    for (k0, k1, steps) in plan:
+        gsz = k1 - k0
+        lg = lanes[k0:k1]
+        sg = selv[k0:k1]
+        accs = [jnp.zeros((gsz, LANES), jnp.float32) for _ in range(C)]
+        for (bcol, s, sval) in steps:
+            bw = read_base(bcol)
+            mask = sg == sval
+            for c in range(C):
+                src = x_refs[c][pl.ds(bw + s, 1), :]           # (1, LANES)
+                srcb = jnp.broadcast_to(src, (gsz, LANES))
+                g = jnp.take_along_axis(srcb, lg, axis=1)
+                accs[c] = accs[c] + jnp.where(mask, g, 0.0)
+        for c in range(C):
+            parts[c].append(accs[c])
+    if len(plan) == 1:
+        return [p[0] for p in parts]
+    return [jnp.concatenate(p, axis=0) for p in parts]
+
+
+def _kernel(plan, K: int, C: int, R: int, n_off: int,
             prods, bases_ref, lane_ref, sel_ref, *refs):
     x_refs = refs[:C]                     # full-operand VMEM (n_rows, 128)
     off_refs = refs[C:C + n_off]          # (R, K, LANES) coefficient blocks
@@ -177,16 +284,8 @@ def _kernel(W: int, K: int, C: int, NW: int, R: int, n_off: int,
     for r in range(R):
         lanes = lane_ref[r]               # (K, LANES)
         selv = sel_ref[r]
-        gs = [jnp.zeros((K, LANES), jnp.float32) for _ in range(C)]
-        for w in range(NW):
-            bw = bases_ref[r, w]
-            for s in range(W):
-                mask = selv == w * W + s
-                for c in range(C):
-                    src = x_refs[c][pl.ds(bw + s, 1), :]       # (1, LANES)
-                    srcb = jnp.broadcast_to(src, (K, LANES))
-                    g = jnp.take_along_axis(srcb, lanes, axis=1)
-                    gs[c] = gs[c] + jnp.where(mask, g, 0.0)
+        gs = _accum_groups(plan, C, lambda col, r=r: bases_ref[r, col],
+                           lanes, selv, x_refs)
         if prods is None:
             for c in range(C):
                 o_refs[c][r] = gs[c]
@@ -210,15 +309,17 @@ def _pad_blocks(a, NBp):
     return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
 
 
-@partial(jax.jit, static_argnames=("W", "prods"))
-def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None):
+@partial(jax.jit, static_argnames=("W", "prods", "wgs"))
+def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None, wgs=None):
     """xs: tuple of (n_src,) components; offs: tuple of (NB, K, LANES)
     coefficient blocks (empty for plain gather); lane/sel (NB, K, 128);
-    bases (NB, NW).  Returns tuple of (NB, K, 128) gathers (prods=None) or
+    bases (NB, NW) window-map or (NB, G) grouped-map rows.  ``wgs``
+    (static, from build_banded_map_grouped) selects the sorted-slot
+    grouped walk.  Returns tuple of (NB, K, 128) gathers (prods=None) or
     (NB, 128) dot outputs (prods = per-output tuples of (off, comp))."""
     NB, K, _ = lane.shape
     NW = bases.shape[1]
-    if K == 1:
+    if K == 1 and wgs is None:
         # Single-slot maps (prolongation): K=1 take_along_axis lowers to a
         # gather form Mosaic rejects; run with a duplicated slot (zero
         # coefficients on the duplicate so dots are unchanged) and slice.
@@ -230,6 +331,7 @@ def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None):
         if prods is None:
             out = tuple(o[:, :1] for o in out)
         return out
+    plan = _plan_groups(wgs) if wgs is not None else _plan_windows(K, NW, W)
     C = len(xs)
     n_off = len(offs)
     R = min(BLOCK_ROWS_PER_PROGRAM, NB)
@@ -255,7 +357,7 @@ def _banded_raw(xs, offs, lane, sel, bases, W: int, prods=None):
             * len(prods)
         out_specs = [rblk] * len(prods)
     out = pl.pallas_call(
-        partial(_kernel, W, K, C, NW, R, n_off, prods),
+        partial(_kernel, plan, K, C, R, n_off, prods),
         grid=(NBp // R,),
         out_shape=out_shape,
         # bases is blocked into SMEM per grid step: an unblocked (NBp, NW)
@@ -282,23 +384,23 @@ def _to_blocked(off: jnp.ndarray, NB: int, K: int) -> jnp.ndarray:
 
 def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
                      base: jnp.ndarray, W: int,
-                     m_out: int | None = None) -> jnp.ndarray:
+                     m_out: int | None = None, wgs=None) -> jnp.ndarray:
     """(M, K) gathered values (API-compatible with DeviceMesh.gather).
 
     Tail dims (x of shape (n_src, C)) run as one multi-component kernel
     call sharing the index-plane reads.  ``m_out``: un-padded output row
-    count (default NB*128).  ``base`` may be (NB,) single-window or
-    (NB, NW) multi-window.
+    count (default NB*128).  ``base`` may be (NB,) single-window,
+    (NB, NW) multi-window, or (NB, G) grouped (with static ``wgs``).
     """
     NB, K, _ = lane.shape
     bases = base[:, None] if base.ndim == 1 else base
     if x.ndim == 2:
         raws = _banded_raw(tuple(x[:, c] for c in range(x.shape[1])), (),
-                           lane, sel, bases, W)
+                           lane, sel, bases, W, wgs=wgs)
         cols = [jnp.moveaxis(r, 1, 2).reshape(NB * LANES, K) for r in raws]
         out = jnp.stack(cols, axis=2).astype(x.dtype)
     else:
-        (raw,) = _banded_raw((x,), (), lane, sel, bases, W)
+        (raw,) = _banded_raw((x,), (), lane, sel, bases, W, wgs=wgs)
         out = jnp.moveaxis(raw, 1, 2).reshape(NB * LANES, K).astype(x.dtype)
     if m_out is not None and m_out != NB * LANES:
         out = out[:m_out]
@@ -311,7 +413,7 @@ def banded_gather2_nk(x: jnp.ndarray, lane, sel, bases, W: int,
     return banded_gather_nk(x, lane, sel, bases, W, m_out=m_out)
 
 
-def _sweeps_kernel(W: int, K: int, C: int, NW: int, R: int, S: int,
+def _sweeps_kernel(plan, K: int, C: int, R: int, S: int,
                    bases_ref, lane_ref, sel_ref, off_ref, dinv_ref, *refs):
     """Grid (S+1, NBp/R): phase 0 seeds z0 = D^-1 r; phase s computes
     z_s = D^-1 (r - A_off z_{s-1}) reading the previous iterate from one
@@ -339,16 +441,9 @@ def _sweeps_kernel(W: int, K: int, C: int, NW: int, R: int, S: int,
             blk = b * R + r_i
             lanes = lane_ref[r_i]             # (K, LANES)
             selv = sel_ref[r_i]
-            gs = [jnp.zeros((K, LANES), jnp.float32) for _ in range(C)]
-            for w in range(NW):
-                bw = bases_ref[r_i, w]
-                for sw in range(W):
-                    mask = selv == w * W + sw
-                    for c in range(C):
-                        src = src_refs[c][pl.ds(bw + sw, 1), :]
-                        srcb = jnp.broadcast_to(src, (K, LANES))
-                        g = jnp.take_along_axis(srcb, lanes, axis=1)
-                        gs[c] = gs[c] + jnp.where(mask, g, 0.0)
+            gs = _accum_groups(plan, C,
+                               lambda col, r_i=r_i: bases_ref[r_i, col],
+                               lanes, selv, src_refs)
             dinv = dinv_ref[pl.ds(blk, 1), :]
             for c in range(C):
                 sig = jnp.sum(off_ref[r_i] * gs[c], axis=0, keepdims=True)
@@ -370,9 +465,9 @@ def _sweeps_kernel(W: int, K: int, C: int, NW: int, R: int, S: int,
         sweep(zb_refs, za_refs)
 
 
-@partial(jax.jit, static_argnames=("W", "sweeps", "m_out"))
+@partial(jax.jit, static_argnames=("W", "sweeps", "m_out", "wgs"))
 def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
-                         sweeps: int, m_out: int | None = None):
+                         sweeps: int, m_out: int | None = None, wgs=None):
     """``sweeps`` Jacobi iterations z = D^-1 (r - A_off z) from the seed
     z0 = D^-1 r, all inside ONE pallas_call (the per-sweep ``banded_dot``
     chain costs a kernel launch + full coefficient re-DMA per sweep; at
@@ -386,6 +481,7 @@ def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
     NB, K, _ = lane.shape
     NW = bases.shape[1] if bases.ndim == 2 else 1
     basesv = bases[:, None] if bases.ndim == 1 else bases
+    plan = _plan_groups(wgs) if wgs is not None else _plan_windows(K, NW, W)
     C = len(rs)
     S = sweeps - 1
     R = min(BLOCK_ROWS_PER_PROGRAM, NB)
@@ -405,7 +501,7 @@ def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
                         memory_space=pltpu.VMEM)
     full = pl.BlockSpec(memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        partial(_sweeps_kernel, W, K, C, NW, R, S),
+        partial(_sweeps_kernel, plan, K, C, R, S),
         grid=(S + 1, NBp // R),
         out_shape=[jax.ShapeDtypeStruct((NBp, LANES), jnp.float32)] * C,
         in_specs=[pl.BlockSpec((R, NW), lambda s, b: (b, 0),
@@ -423,7 +519,7 @@ def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
 
 
 def banded_dot(xs, offs, lane, sel, bases, W: int, prods,
-               m_out: int | None = None):
+               m_out: int | None = None, wgs=None):
     """Fused banded SpMV: out_j[i] = sum over (oi, ci) in prods[j] of
     sum_k offs[oi][i, k] * xs[ci][idx[i, k]].
 
@@ -436,7 +532,7 @@ def banded_dot(xs, offs, lane, sel, bases, W: int, prods,
     bases = bases[:, None] if bases.ndim == 1 else bases
     offb = tuple(_to_blocked(o, NB, K) for o in offs)
     raws = _banded_raw(tuple(xs), offb, lane, sel, bases, W,
-                       prods=tuple(tuple(p) for p in prods))
+                       prods=tuple(tuple(p) for p in prods), wgs=wgs)
     out = tuple(r.reshape(NB * LANES) for r in raws)
     if m_out is not None and m_out != NB * LANES:
         out = tuple(o[:m_out] for o in out)

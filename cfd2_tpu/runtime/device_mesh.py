@@ -61,6 +61,11 @@ class DeviceMesh:
     # Two-window banded gather for the multilevel layout (same-level band +
     # cross-level band per block); None when unavailable.
     bd2_W: int | None
+    # Sorted-slot grouped banded map (generic path; slots sorted by neighbor
+    # id at encode so slot k is the k-th order statistic): static
+    # (per-group walk lengths, slot-group bounds) consumed with
+    # bd_lane/bd_sel/bd_base; None when a window map is cheaper.
+    bd_wgs: tuple | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -157,7 +162,7 @@ class DeviceMesh:
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
                self.num_host_cells, self.grid_shape, self.ml_levels,
-               self.bd_W, self.bd2_W)
+               self.bd_W, self.bd2_W, self.bd_wgs)
         return children, aux
 
     @classmethod
@@ -231,7 +236,8 @@ class DeviceMesh:
         if self.bd_W is not None:
             from ..ops.banded_gather import banded_gather_nk
             return banded_gather_nk(x, self.bd_lane, self.bd_sel,
-                                    self.bd_base, self.bd_W)
+                                    self.bd_base, self.bd_W,
+                                    wgs=self.bd_wgs)
         if self.bd2_W is not None:     # generic mesh with a multi-window map
             from ..ops.banded_gather import banded_gather2_nk
             return banded_gather2_nk(x, self.bd2_lane, self.bd2_sel,
@@ -252,13 +258,13 @@ class DeviceMesh:
         neighbor values never materialize to HBM."""
         from ..ops.banded_gather import banded_dot
         if self.bd_W is not None:
-            lane, sel, bases, W = (self.bd_lane, self.bd_sel, self.bd_base,
-                                   self.bd_W)
+            lane, sel, bases, W, wgs = (self.bd_lane, self.bd_sel,
+                                        self.bd_base, self.bd_W, self.bd_wgs)
         else:
-            lane, sel, bases, W = (self.bd2_lane, self.bd2_sel,
-                                   self.bd2_bases, self.bd2_W)
+            lane, sel, bases, W, wgs = (self.bd2_lane, self.bd2_sel,
+                                        self.bd2_bases, self.bd2_W, None)
         return banded_dot(xs, offs, lane, sel, bases, W, prods,
-                          m_out=self.num_cells)
+                          m_out=self.num_cells, wgs=wgs)
 
     def banded_sweeps_fit(self, n_comps: int) -> bool:
         """True when the one-kernel multi-sweep Jacobi (banded_jacobi_sweeps)
@@ -274,13 +280,13 @@ class DeviceMesh:
         launch-bound fix for <=200k-cell unstructured meshes)."""
         from ..ops.banded_gather import banded_jacobi_sweeps
         if self.bd_W is not None:
-            lane, sel, bases, W = (self.bd_lane, self.bd_sel, self.bd_base,
-                                   self.bd_W)
+            lane, sel, bases, W, wgs = (self.bd_lane, self.bd_sel,
+                                        self.bd_base, self.bd_W, self.bd_wgs)
         else:
-            lane, sel, bases, W = (self.bd2_lane, self.bd2_sel,
-                                   self.bd2_bases, self.bd2_W)
+            lane, sel, bases, W, wgs = (self.bd2_lane, self.bd2_sel,
+                                        self.bd2_bases, self.bd2_W, None)
         return banded_jacobi_sweeps(tuple(rs), dinv, off, lane, sel, bases,
-                                    W, sweeps, m_out=self.num_cells)
+                                    W, sweeps, m_out=self.num_cells, wgs=wgs)
 
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
         out = []
@@ -659,6 +665,22 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     bdry = np.where(e_is_b, mesh.face_boundary[e_face], 0)
     ngh_dev = np.where(e_is_b, e_dev, dev_of_host[oth_host])
 
+    if grid_shape is None and ml is None:
+        # Generic path: slot order is arbitrary (host CSR order), so sort
+        # each cell's slots by neighbor device id.  Slot k then holds the
+        # k-th order statistic of the cell's RCM-sorted neighbors, whose
+        # per-block source span is far narrower than the whole band — the
+        # banded kernel walks per-slot-group windows instead of NW*W full
+        # candidate rows (build_banded_map_grouped; voronoi at 294k:
+        # 9 slots x 9 window rows vs ~a few rows per sorted slot pair).
+        ords = np.lexsort((ngh_dev, e_dev))
+        sd = e_dev[ords]
+        change = np.ones(len(ords), dtype=bool)
+        change[1:] = sd[1:] != sd[:-1]
+        grp_start = np.maximum.accumulate(
+            np.where(change, np.arange(len(ords)), 0))
+        e_slot[ords] = np.arange(len(ords)) - grp_start
+
     # ------------------------------------------------------------------
     # Multilevel: exception entries + flux mirror mask.
     ml_exc_cell = ml_exc_slot = ml_exc_src = ck_mirror_arr = None
@@ -704,27 +726,52 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     ck_neighbor = self_col.copy()
     ck_neighbor[e_dev, e_slot] = ngh_dev
 
+    if grid_shape is None and ml is None:
+        # Padded trailing slots repeat the cell's last real neighbor (a
+        # self index sits mid-band and would stretch the sorted slots'
+        # windows); sorted ranks are contiguous from slot 0, so occupancy
+        # is a prefix and fully masked padding cells keep self.
+        occ = np.zeros((N_dev, K), dtype=bool)
+        occ[e_dev, e_slot] = True
+        ffi = np.maximum.accumulate(
+            np.where(occ, np.arange(K)[None, :], 0), axis=1)
+        ck_neighbor = np.take_along_axis(ck_neighbor, ffi, axis=1)
+
     # Banded gather metadata (generic RCM layout only).
     bd_lane = bd_sel = bd_base = None
     bd_W = None
+    bd_wgs = None
     bd2 = (None,) * 3
     bd2_W = None
     if grid_shape is None and ml is None and N_dev % 128 == 0:
-        from ..ops.banded_gather import build_banded_map, build_banded_map2
+        from ..ops.banded_gather import (build_banded_map, build_banded_map2,
+                                         build_banded_map_grouped,
+                                         grouped_cost)
+        # Kernel cost per gather ~ candidate row-gathers per block:
+        # a window map walks NW * W rows gathering all K slots each step;
+        # the sorted-slot grouped map walks each slot group's own narrow
+        # window (slots are sorted by neighbor id above).  Pick the
+        # cheapest map that builds.
         bl = build_banded_map(ck_neighbor, N_dev)
-        # Kernel cost per gather is ~ NW * W candidate rows.  RCM level
-        # sets put a block's neighbors in ~3 clusters (previous / same /
-        # next level set), so a multi-window map is often much cheaper
-        # than one window spanning all three (voronoi 294k: W=17 single
-        # vs 3x3 multi).  Pick the cheapest map that builds.
+        cost1 = bl[3] * K if bl is not None else None
         best2 = None
         for nw in (2, 3, 4):
             bl2 = build_banded_map2(ck_neighbor, N_dev, n_windows=nw)
             if bl2 is not None and (best2 is None
                                     or nw * bl2[3] < best2[0] * best2[1][3]):
                 best2 = (nw, bl2)
-        if best2 is not None and (bl is None
-                                  or best2[0] * best2[1][3] < bl[3]):
+        cost2 = best2[0] * best2[1][3] * K if best2 is not None else None
+        blg = build_banded_map_grouped(ck_neighbor, N_dev)
+        costg = grouped_cost(blg[3]) if blg is not None else None
+        costs = [c for c in (cost1, cost2, costg) if c is not None]
+        cmin = min(costs) if costs else None
+        if costg is not None and costg == cmin:
+            lane_a, sel_a, bases_a, bd_wgs = blg
+            bd_W = max(bd_wgs[0])
+            bd_lane = jnp.asarray(lane_a, jnp.int32)
+            bd_sel = jnp.asarray(sel_a, jnp.int32)
+            bd_base = jnp.asarray(bases_a, jnp.int32)
+        elif cost2 is not None and cost2 == cmin:
             lane_a, sel_a, bases_a, bd2_W = best2[1]
             bd2 = (jnp.asarray(lane_a, jnp.int32),
                    jnp.asarray(sel_a, jnp.int32),
@@ -773,6 +820,7 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
         grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W, bd2_W=bd2_W,
+        bd_wgs=bd_wgs,
         bd_lane=bd_lane, bd_sel=bd_sel, bd_base=bd_base,
         bd2_lane=bd2[0], bd2_sel=bd2[1], bd2_bases=bd2[2],
         ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
