@@ -63,19 +63,24 @@ class AmgLevel:
     w_ell: int | None = None
     w_members: int | None = None
     w_agg: int | None = None
+    # Static sorted-slot grouped-walk plans (build_banded_map_grouped);
+    # None when the level's map is a window map.
+    g_ell: tuple | None = None
+    g_members: tuple | None = None
 
     def tree_flatten(self):
         return ((self.ell_neighbor, self.rap_target, self.agg,
                  self.members, self.members_mask, self.bm_ell,
                  self.bm_members, self.bm_agg),
-                (self.n, self.k, self.w_ell, self.w_members, self.w_agg))
+                (self.n, self.k, self.w_ell, self.w_members, self.w_agg,
+                 self.g_ell, self.g_members))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        n, k, w_ell, w_members, w_agg = aux
+        n, k, w_ell, w_members, w_agg, g_ell, g_members = aux
         (ell, rap, agg, mem, memm, bme, bmm, bma) = children
         return cls(n, k, ell, rap, agg, mem, memm, bme, bmm, bma,
-                   w_ell, w_members, w_agg)
+                   w_ell, w_members, w_agg, g_ell, g_members)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -256,6 +261,15 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         coarse_mask = np.zeros((nc, kc), dtype=bool)
         coarse_ngh[pci, slot] = pcj
         coarse_mask[pci, slot] = True
+        # Rows are ascending (uniq_pairs is sorted and slots fill 0..deg-1);
+        # repeat the last real neighbor into pad slots (a mid-band self index
+        # would break the order) so the sorted-slot grouped banded map
+        # applies.  Pad coefficients are zero (RAP never writes them) and
+        # the next level's aggregation reads coarse_mask, so values at pads
+        # are free.
+        ffil = np.maximum.accumulate(
+            np.where(coarse_mask, np.arange(kc)[None, :], 0), axis=1)
+        coarse_ngh = np.take_along_axis(coarse_ngh, ffil, axis=1)
 
         # RAP index map: flattened fine values [diag(n); off(n*kf)] -> coarse
         # flattened slots [c*(kc+1) + 0 (diag) | 1+slot]; dump slot at end.
@@ -286,33 +300,49 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         members_mask[agg[order], within] = 1.0
 
         # Banded-gather maps (None when a band is too wide; see class doc).
-        from .banded_gather import build_banded_map, build_banded_map2
+        from .banded_gather import (build_banded_map, build_banded_map2,
+                                    build_banded_map_grouped, grouped_cost)
 
-        def _bm(idx, n_src):
-            r = build_banded_map(np.asarray(idx), n_src)
+        def _bm(idx, n_src, sorted_rows=False):
+            idx = np.asarray(idx)
+            r = build_banded_map(idx, n_src)
+            if sorted_rows:
+                # Rows ascending: the sorted-slot grouped map walks each
+                # slot pair's own narrow window; take it when cheaper.
+                rg = build_banded_map_grouped(idx, n_src)
+                if rg is not None and (
+                        r is None
+                        or grouped_cost(rg[3]) < r[3] * idx.shape[1]):
+                    lane, sel, bases, wgs = rg
+                    return (jnp.asarray(lane), jnp.asarray(sel),
+                            jnp.asarray(bases)), max(wgs[0]), wgs
             if r is None:
                 # Multi-window fallback: multilevel meshes' aggregate /
                 # adjacency maps cluster into one narrow band per
                 # refinement level (the unified kernel takes (NB, NW)
                 # bases transparently).
-                r = build_banded_map2(np.asarray(idx), n_src)
+                r = build_banded_map2(idx, n_src)
             if r is None:
-                return None, None
+                return None, None, None
             lane, sel, base, w = r
             return (jnp.asarray(lane), jnp.asarray(sel),
-                    jnp.asarray(base)), w
+                    jnp.asarray(base)), w, None
 
-        bme, we = _bm(coarse_ngh, nc)
-        # Masked member entries hold index 0; point them at the row's first
+        bme, we, ge = _bm(coarse_ngh, nc, sorted_rows=True)
+        # Masked member entries hold index 0; point them at the row's LAST
         # real member — forward-filled for empty aggregates — so they don't
-        # stretch the banded window to row 0.
-        first = np.where(members_mask[:, 0] > 0, members[:, 0], -1)
-        ffi = np.where(first >= 0, np.arange(nc), 0)
+        # stretch the banded window to row 0 AND rows stay ascending
+        # (members fill 0..count-1 in fine-id order), enabling the
+        # sorted-slot grouped map.
+        last = np.where(counts_m > 0,
+                        members[np.arange(nc),
+                                np.maximum(counts_m - 1, 0)], -1)
+        ffi = np.where(last >= 0, np.arange(nc), 0)
         np.maximum.accumulate(ffi, out=ffi)
-        first = np.maximum(first[ffi], 0)
-        members_safe = np.where(members_mask > 0, members, first[:, None])
-        bmm, wm = _bm(members_safe, n)
-        bma, wa = _bm(agg[:, None], nc)
+        last = np.maximum(last[ffi], 0)
+        members_safe = np.where(members_mask > 0, members, last[:, None])
+        bmm, wm, gm = _bm(members_safe, n, sorted_rows=True)
+        bma, wa, _ = _bm(agg[:, None], nc)
 
         levels.append(AmgLevel(
             n=nc, k=kc,
@@ -323,6 +353,7 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
             members_mask=jnp.asarray(members_mask, jnp.float32),
             bm_ell=bme, bm_members=bmm, bm_agg=bma,
             w_ell=we, w_members=wm, w_agg=wa,
+            g_ell=ge, g_members=gm,
         ))
 
         ngh = coarse_ngh
@@ -929,13 +960,13 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     """
     from .banded_gather import banded_dot, banded_gather_nk
 
-    def _bm_dot(bm, w, m_out):
+    def _bm_dot(bm, w, m_out, wgs=None):
         return lambda off, x: banded_dot(
-            (x,), (off,), *bm, w, (((0, 0),),), m_out=m_out)[0]
+            (x,), (off,), *bm, w, (((0, 0),),), m_out=m_out, wgs=wgs)[0]
 
     def _ell_dot(lvl):
         if lvl.bm_ell is not None:
-            return _bm_dot(lvl.bm_ell, lvl.w_ell, lvl.n)
+            return _bm_dot(lvl.bm_ell, lvl.w_ell, lvl.n, wgs=lvl.g_ell)
         return lambda off, x: jnp.sum(off * x[lvl.ell_neighbor], axis=1)
 
     if mesh.banded:
@@ -965,8 +996,8 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
         x = smooth(diag, off, dots[i], xs[i], bs[i])
         r = bs[i] - _ell_spmv(diag, off, dots[i], x)
         if lvl.bm_members is not None:
-            b_c = _bm_dot(lvl.bm_members, lvl.w_members, lvl.n)(
-                lvl.members_mask, r)
+            b_c = _bm_dot(lvl.bm_members, lvl.w_members, lvl.n,
+                          wgs=lvl.g_members)(lvl.members_mask, r)
         else:
             b_c = jnp.sum(r[lvl.members] * lvl.members_mask, axis=1)
         xs[i] = x
