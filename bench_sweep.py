@@ -50,14 +50,19 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
         int(s.state.outer_iters)
     dt = (time.time() - t0) / steps
     assert np.isfinite(s.get_u()).all()
-    layout = ("structured" if s.mesh.structured
-              else (f"multilevel-banded(W={s.mesh.bd2_W})"
-                    if s.mesh.bd2_W is not None else "multilevel")
-              if s.mesh.multilevel
-              else (f"banded-grouped(wgs={s.mesh.bd_wgs[0]})"
-                    if s.mesh.bd_wgs is not None
-                    else f"banded(W={s.mesh.bd_W})")
-              if s.mesh.bd_W is not None
+    m = s.mesh
+    kc = "" if m.bd_k is None else f",k{m.bd_k}"
+    layout = ("structured" if m.structured
+              else (f"multilevel-banded(W={m.bd2_W})"
+                    if m.bd2_W is not None else "multilevel")
+              if m.multilevel
+              else (f"banded-grouped(wgs={m.bd_wgs[0]}{kc})"
+                    if m.bd_wgs is not None
+                    else f"banded(W={m.bd_W}{kc})")
+              if m.bd_W is not None
+              else (f"banded-multi(W={m.bd2_W},"
+                    f"NW={m.bd2_bases.shape[1]}{kc})")
+              if m.bd2_W is not None
               else "generic")
     print(json.dumps({
         "mesh": min_cell if not max_cell else f"{min_cell}/{max_cell}",

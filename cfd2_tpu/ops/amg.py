@@ -301,18 +301,21 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
 
         # Banded-gather maps (None when a band is too wide; see class doc).
         from .banded_gather import (build_banded_map, build_banded_map2,
-                                    build_banded_map_grouped, grouped_cost)
+                                    build_banded_map_grouped, grouped_cost,
+                                    window_cost)
 
         def _bm(idx, n_src, sorted_rows=False):
             idx = np.asarray(idx)
             r = build_banded_map(idx, n_src)
             if sorted_rows:
                 # Rows ascending: the sorted-slot grouped map walks each
-                # slot pair's own narrow window; take it when cheaper.
+                # slot pair's own narrow window; take it when cheaper in
+                # vreg-gather units (window_cost doc).
                 rg = build_banded_map_grouped(idx, n_src)
                 if rg is not None and (
                         r is None
-                        or grouped_cost(rg[3]) < r[3] * idx.shape[1]):
+                        or grouped_cost(rg[3])
+                        < window_cost(r[3], idx.shape[1])):
                     lane, sel, bases, wgs = rg
                     return (jnp.asarray(lane), jnp.asarray(sel),
                             jnp.asarray(bases)), max(wgs[0]), wgs

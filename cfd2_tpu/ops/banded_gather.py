@@ -158,10 +158,29 @@ def build_banded_map_grouped(idx: np.ndarray, n_src: int, w_max: int = 40,
     return lane, sel, bases, (tuple(wgs), slot_bounds)
 
 
+VREG_SUBLANES = 8
+
+
+def window_cost(W: int, K: int, nw: int = 1) -> int:
+    """Walk cost of a (multi-)window map in vreg-gather units.
+
+    The kernel's per-step work is one masked lane-gather over a (K, LANES)
+    tile; the VPU operates on (8, 128) vregs, so a step costs ceil(K/8)
+    vregs regardless of how few slots it covers.  This is what the 294k
+    voronoi measurements follow (probe_dyn_prod.py): single-window W=17,
+    K=9 (34 vregs) ran 18.0 ms while the nominally-cheaper grouped map
+    (wgs=(17,17,17,9) over 2/2/2/3-slot groups = 60 vregs) ran 22.6 ms —
+    counting raw row-gathers (153 vs 129) picks the wrong map."""
+    return nw * W * -(-K // VREG_SUBLANES)
+
+
 def grouped_cost(wgs) -> int:
-    """Row-gathers per destination block for a grouped map's walk."""
+    """Walk cost of a sorted-slot grouped map in vreg-gather units (see
+    window_cost): each group's step processes a (gsz, LANES) tile that
+    still occupies ceil(gsz/8) full vregs."""
     lens, bounds = wgs
-    return sum(w * (k1 - k0) for w, (k0, k1) in zip(lens, bounds))
+    return sum(w * -(-(k1 - k0) // VREG_SUBLANES)
+               for w, (k0, k1) in zip(lens, bounds))
 
 
 def build_banded_map2(idx: np.ndarray, n_src: int, w_max: int = 16,

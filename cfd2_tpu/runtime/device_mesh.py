@@ -66,6 +66,13 @@ class DeviceMesh:
     # (per-group walk lengths, slot-group bounds) consumed with
     # bd_lane/bd_sel/bd_base; None when a window map is cheaper.
     bd_wgs: tuple | None
+    # Slot-capped banded map: the kernel walks only the first bd_k slots (a
+    # (K<=8, LANES) tile is ONE vreg per step — see banded_gather
+    # .window_cost) and the rare occupied slots >= bd_k are handled as a
+    # tiny COO overflow (bd_of_*): exact gather/scatter-add corrections for
+    # gather() and banded_dot(); dropped from the Jacobi-sweep smoother
+    # (preconditioner-only).  None when K already <= 8 or overflow is dense.
+    bd_k: int | None
 
     # --- face-major (F,) — generic flux path ---
     f_owner: jnp.ndarray          # int32 (device ids)
@@ -143,6 +150,12 @@ class DeviceMesh:
     ml_pair_cell_b: jnp.ndarray | None = None
     ml_pair_slot_b: jnp.ndarray | None = None
 
+    # Slot-cap COO overflow (see bd_k): occupied (cell, slot >= bd_k)
+    # entries and their neighbor cells.  (E,) int32 each; None when unused.
+    bd_of_rows: jnp.ndarray | None = None
+    bd_of_slots: jnp.ndarray | None = None
+    bd_of_src: jnp.ndarray | None = None
+
     _dyn_fields = (
         "f_owner", "f_neighbor", "f_neighbor_safe", "f_internal", "f_boundary",
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
@@ -156,13 +169,14 @@ class DeviceMesh:
         "bd2_lane", "bd2_sel", "bd2_bases",
         "ml_pair_cell_a", "ml_pair_slot_a", "ml_pair_cell_b",
         "ml_pair_slot_b",
+        "bd_of_rows", "bd_of_slots", "bd_of_src",
     )
 
     def tree_flatten(self):
         children = tuple(getattr(self, f) for f in self._dyn_fields)
         aux = (self.num_cells, self.num_faces, self.max_faces,
                self.num_host_cells, self.grid_shape, self.ml_levels,
-               self.bd_W, self.bd2_W, self.bd_wgs)
+               self.bd_W, self.bd2_W, self.bd_wgs, self.bd_k)
         return children, aux
 
     @classmethod
@@ -235,15 +249,33 @@ class DeviceMesh:
             return base.at[self.ml_exc_cell, self.ml_exc_slot].set(vals)
         if self.bd_W is not None:
             from ..ops.banded_gather import banded_gather_nk
-            return banded_gather_nk(x, self.bd_lane, self.bd_sel,
-                                    self.bd_base, self.bd_W,
-                                    wgs=self.bd_wgs)
+            out = banded_gather_nk(x, self.bd_lane, self.bd_sel,
+                                   self.bd_base, self.bd_W,
+                                   wgs=self.bd_wgs)
+            return self._widen_k(out, x)
         if self.bd2_W is not None:     # generic mesh with a multi-window map
             from ..ops.banded_gather import banded_gather2_nk
-            return banded_gather2_nk(x, self.bd2_lane, self.bd2_sel,
-                                     self.bd2_bases, self.bd2_W,
-                                     m_out=self.num_cells)
+            out = banded_gather2_nk(x, self.bd2_lane, self.bd2_sel,
+                                    self.bd2_bases, self.bd2_W,
+                                    m_out=self.num_cells)
+            return self._widen_k(out, x)
         return x[self.ck_neighbor]
+
+    def _widen_k(self, out: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Rebuild the full-K gather from a slot-capped kernel output.
+
+        Slot occupancy is a contiguous prefix and pad slots forward-fill
+        the last real neighbor, so every column >= bd_k of the full map
+        equals column bd_k - 1 except at the (rare) occupied overflow
+        entries, which are patched exactly from the COO list."""
+        if self.bd_k is None:
+            return out
+        reps = jnp.broadcast_to(
+            out[:, self.bd_k - 1:self.bd_k],
+            out.shape[:1] + (self.max_faces - self.bd_k,) + out.shape[2:])
+        out = jnp.concatenate([out, reps], axis=1)
+        vals = x[self.bd_of_src]
+        return out.at[self.bd_of_rows, self.bd_of_slots].set(vals)
 
     @property
     def banded(self) -> bool:
@@ -255,7 +287,12 @@ class DeviceMesh:
         """Fused banded SpMV over the mesh neighbor map (ops/banded_gather
         .banded_dot): out_j = sum over (oi, ci) in prods[j] of
         sum_k offs[oi][:, k] * xs[ci][neighbor[:, k]].  The gathered
-        neighbor values never materialize to HBM."""
+        neighbor values never materialize to HBM.
+
+        Coefficients on unoccupied (pad) slots MUST be zero — the assembly
+        invariant (pads scatter to 0) — because on a slot-capped map
+        (bd_k) the kernel walks only the first bd_k slots and the COO
+        correction covers only *occupied* overflow entries."""
         from ..ops.banded_gather import banded_dot
         if self.bd_W is not None:
             lane, sel, bases, W, wgs = (self.bd_lane, self.bd_sel,
@@ -263,8 +300,21 @@ class DeviceMesh:
         else:
             lane, sel, bases, W, wgs = (self.bd2_lane, self.bd2_sel,
                                         self.bd2_bases, self.bd2_W, None)
-        return banded_dot(xs, offs, lane, sel, bases, W, prods,
-                          m_out=self.num_cells, wgs=wgs)
+        offs_k = (offs if self.bd_k is None
+                  else tuple(o[:, :self.bd_k] for o in offs))
+        out = banded_dot(xs, offs_k, lane, sel, bases, W, prods,
+                         m_out=self.num_cells, wgs=wgs)
+        if self.bd_k is None:
+            return out
+        # Exact COO correction for the occupied slots >= bd_k.
+        out = list(out)
+        for j, pairs in enumerate(prods):
+            corr = 0.0
+            for (oi, ci) in pairs:
+                corr = corr + (offs[oi][self.bd_of_rows, self.bd_of_slots]
+                               * xs[ci][self.bd_of_src])
+            out[j] = out[j].at[self.bd_of_rows].add(corr)
+        return tuple(out)
 
     def banded_sweeps_fit(self, n_comps: int) -> bool:
         """True when the one-kernel multi-sweep Jacobi (banded_jacobi_sweeps)
@@ -277,7 +327,13 @@ class DeviceMesh:
     def banded_jacobi_sweeps(self, rs, dinv, off, sweeps: int):
         """``sweeps`` Jacobi iterations z = dinv*(r - A_off z) from the seed
         dinv*r for each rhs in ``rs``, fused into one Pallas kernel (the
-        launch-bound fix for <=200k-cell unstructured meshes)."""
+        launch-bound fix for <=200k-cell unstructured meshes).
+
+        On a slot-capped map (bd_k) the smoother's A_off drops the COO
+        overflow entries (occupied slots >= bd_k; 0.1-3% of cells on
+        polygonal meshes): the sweeps run inside ONE kernel so a per-sweep
+        correction is impossible, and the sweep is a preconditioner — the
+        outer FGMRES is flexible, so any fixed approximation is legal."""
         from ..ops.banded_gather import banded_jacobi_sweeps
         if self.bd_W is not None:
             lane, sel, bases, W, wgs = (self.bd_lane, self.bd_sel,
@@ -285,7 +341,8 @@ class DeviceMesh:
         else:
             lane, sel, bases, W, wgs = (self.bd2_lane, self.bd2_sel,
                                         self.bd2_bases, self.bd2_W, None)
-        return banded_jacobi_sweeps(tuple(rs), dinv, off, lane, sel, bases,
+        off_k = off if self.bd_k is None else off[:, :self.bd_k]
+        return banded_jacobi_sweeps(tuple(rs), dinv, off_k, lane, sel, bases,
                                     W, sweeps, m_out=self.num_cells, wgs=wgs)
 
     def _per_level(self, v: jnp.ndarray, fn) -> jnp.ndarray:
@@ -416,6 +473,107 @@ def _multilevel_layout(mesh: Mesh):
     return tuple(shapes), offsets, off, dev_of_host
 
 
+def _band_order_cost(rank, owner_i, neigh_i, N_host):
+    """Best achievable banded-map walk cost (vreg-gather units, see
+    ops/banded_gather.window_cost) for a candidate cell ordering, computed
+    on a sorted-slot proxy ELL of the internal adjacency.  The real encode
+    adds boundary/self slots, but those sit on the diagonal and never
+    widen a block's source window, so the proxy ranks orderings
+    faithfully.  Returns None when no banded map builds."""
+    from ..ops.banded_gather import (build_banded_map, build_banded_map2,
+                                     build_banded_map_grouped, grouped_cost,
+                                     window_cost)
+    N_dev = ((N_host + 127) // 128) * 128
+    ii = np.concatenate([rank[owner_i], rank[neigh_i]])
+    jj = np.concatenate([rank[neigh_i], rank[owner_i]])
+    order = np.lexsort((jj, ii))
+    ii, jj = ii[order], jj[order]
+    counts = np.bincount(ii, minlength=N_dev)
+    K = int(counts.max())
+    if K == 0:
+        return None
+    start = np.zeros(N_dev + 1, np.int64)
+    np.cumsum(counts, out=start[1:])
+    slot = np.arange(len(ii)) - start[ii]
+    ck = np.tile(np.arange(N_dev, dtype=np.int64)[:, None], (1, K))
+    ck[ii, slot] = jj
+    occ = np.zeros((N_dev, K), bool)
+    occ[ii, slot] = True
+    ffi = np.maximum.accumulate(
+        np.where(occ, np.arange(K)[None, :], 0), axis=1)
+    ck = np.take_along_axis(ck, ffi, axis=1)
+
+    costs = []
+    bl = build_banded_map(ck, N_dev)
+    if bl is not None:
+        costs.append(window_cost(bl[3], K))
+    for nw in (2, 3, 4):
+        bl2 = build_banded_map2(ck, N_dev, n_windows=nw)
+        if bl2 is not None:
+            costs.append(window_cost(bl2[3], K, nw))
+    blg = build_banded_map_grouped(ck, N_dev)
+    if blg is not None:
+        costs.append(grouped_cost(blg[3]))
+    return min(costs) if costs else None
+
+
+def _generic_rank(mesh: Mesh, owner, neigh, internal, N_host):
+    """Cell ordering for the generic (unstructured) layout.
+
+    Candidates — RCM plus geometric column sweeps — are scored by the best
+    banded-map walk cost they admit on the real adjacency; cheapest wins.
+    RCM minimizes graph bandwidth, but on polygonal (voronoi) meshes its
+    single band runs 2-3x the geometric cross-section, while a column
+    sweep bucketed at ~1-2 mean spacings concentrates each block's sources
+    into a few narrow windows (tools/probe_ordering.py at 294k voronoi:
+    RCM single-window W=17/K=9 = 34 vregs vs colsweep multi-window 18).
+    Triangle (delaunay) meshes keep RCM (its single W=9 band beats every
+    sweep tried)."""
+    owner_i = owner[internal]
+    neigh_i = neigh[internal]
+    candidates = []
+    try:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+        adj = sp.csr_matrix(
+            (np.ones(2 * len(owner_i)),
+             (np.concatenate([owner_i, neigh_i]),
+              np.concatenate([neigh_i, owner_i]))),
+            shape=(N_host, N_host))
+        perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
+                          dtype=np.int64)
+        rank = np.empty(N_host, dtype=np.int64)
+        rank[perm] = np.arange(N_host)
+        candidates.append(("rcm", rank))
+    except Exception:
+        pass
+
+    cx, cy = mesh.cell_cx, mesh.cell_cy
+    ex = float(cx.max() - cx.min()) if N_host else 0.0
+    ey = float(cy.max() - cy.min()) if N_host else 0.0
+    if N_host and max(ex, ey) > 0:
+        spacing = np.sqrt(max(ex * ey, 1e-300) / N_host)
+        along, across = (cx, cy) if ex >= ey else (cy, cx)
+        for mult in (1.0, 2.0):
+            bx = np.floor((along - along.min())
+                          / max(mult * spacing, 1e-300)).astype(np.int64)
+            order = np.lexsort((across, bx))
+            rank = np.empty(N_host, dtype=np.int64)
+            rank[order] = np.arange(N_host)
+            candidates.append((f"colsweep-x{mult:g}", rank))
+
+    if not candidates:
+        return np.arange(N_host, dtype=np.int64)
+    if len(candidates) == 1 or len(owner_i) == 0:
+        return candidates[0][1]
+    best = None
+    for name, rank in candidates:
+        c = _band_order_cost(rank, owner_i, neigh_i, N_host)
+        if c is not None and (best is None or c < best[0]):
+            best = (c, name, rank)
+    return best[2] if best is not None else candidates[0][1]
+
+
 def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
                 pad_rows_to: int = 1, pad_cols_to: int = 1) -> DeviceMesh:
     """Encode a host mesh (one-time upload).
@@ -464,23 +622,13 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         ml_levels, ml_offsets, N_dev, dev_of_host = ml
         grid_shape = None
     else:
-        # Generic (unstructured) layout: RCM-order cells so neighbors fall in
-        # a narrow index band, and pad the count to a multiple of 128 lanes —
-        # both for the banded Pallas gather (ops/banded_gather.py).  Padded
-        # cells are masked identity rows like structured solids.
-        try:
-            import scipy.sparse as sp
-            from scipy.sparse.csgraph import reverse_cuthill_mckee
-            ii = np.concatenate([owner[internal], neigh[internal]])
-            jj = np.concatenate([neigh[internal], owner[internal]])
-            adj = sp.csr_matrix((np.ones(len(ii)), (ii, jj)),
-                                shape=(N_host, N_host))
-            perm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True),
-                              dtype=np.int64)
-            rank = np.empty(N_host, dtype=np.int64)
-            rank[perm] = np.arange(N_host)
-        except Exception:           # scipy unavailable: keep host order
-            rank = np.arange(N_host, dtype=np.int64)
+        # Generic (unstructured) layout: order cells so neighbors fall in
+        # narrow index bands, and pad the count to a multiple of 128 lanes —
+        # both for the banded Pallas gather (ops/banded_gather.py).  The
+        # ordering (RCM vs geometric column sweep) is chosen per mesh by
+        # the banded walk cost it admits (_generic_rank).  Padded cells are
+        # masked identity rows like structured solids.
+        rank = _generic_rank(mesh, owner, neigh, internal, N_host)
         N_dev = ((N_host + 127) // 128) * 128
         dev_of_host = rank
         grid_shape = None
@@ -737,31 +885,51 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
             np.where(occ, np.arange(K)[None, :], 0), axis=1)
         ck_neighbor = np.take_along_axis(ck_neighbor, ffi, axis=1)
 
-    # Banded gather metadata (generic RCM layout only).
+    # Banded gather metadata (generic banded layout only).
     bd_lane = bd_sel = bd_base = None
     bd_W = None
     bd_wgs = None
     bd2 = (None,) * 3
     bd2_W = None
+    bd_kcap = None
+    bd_of = None
     if grid_shape is None and ml is None and N_dev % 128 == 0:
         from ..ops.banded_gather import (build_banded_map, build_banded_map2,
                                          build_banded_map_grouped,
-                                         grouped_cost)
-        # Kernel cost per gather ~ candidate row-gathers per block:
-        # a window map walks NW * W rows gathering all K slots each step;
-        # the sorted-slot grouped map walks each slot group's own narrow
-        # window (slots are sorted by neighbor id above).  Pick the
-        # cheapest map that builds.
-        bl = build_banded_map(ck_neighbor, N_dev)
-        cost1 = bl[3] * K if bl is not None else None
+                                         grouped_cost, window_cost)
+        # Slot cap: a (K, LANES) walk tile costs ceil(K/8) vregs per step
+        # (window_cost doc), so K=9 maps pay 2x K=8 maps.  When the slots
+        # beyond 8 are sparsely occupied (polygonal meshes: deg>=9 cells
+        # are ~0.1%), build the kernel map on the first 8 sorted slots and
+        # carry the occupied remainder as a COO overflow list — exact
+        # corrections in gather()/banded_dot(), dropped by the sweep
+        # smoother (see the DeviceMesh methods).
+        ck_map = ck_neighbor
+        if K > 8:
+            ovr, ovs = np.nonzero(occ[:, 8:])
+            if len(ovr) <= 0.05 * N_dev:
+                ovs = ovs + 8
+                bd_of = (ovr.astype(np.int64), ovs,
+                         ck_neighbor[ovr, ovs])
+                ck_map = ck_neighbor[:, :8]
+                bd_kcap = 8
+        Km = ck_map.shape[1]
+        # Kernel cost per gather in vreg-gather units (window_cost doc):
+        # a window map walks NW * W rows gathering all K slots each step
+        # on ceil(K/8)-vreg tiles; the sorted-slot grouped map walks each
+        # slot group's own narrow window but small groups still burn whole
+        # vregs.  Pick the cheapest map that builds.
+        bl = build_banded_map(ck_map, N_dev)
+        cost1 = window_cost(bl[3], Km) if bl is not None else None
         best2 = None
         for nw in (2, 3, 4):
-            bl2 = build_banded_map2(ck_neighbor, N_dev, n_windows=nw)
+            bl2 = build_banded_map2(ck_map, N_dev, n_windows=nw)
             if bl2 is not None and (best2 is None
                                     or nw * bl2[3] < best2[0] * best2[1][3]):
                 best2 = (nw, bl2)
-        cost2 = best2[0] * best2[1][3] * K if best2 is not None else None
-        blg = build_banded_map_grouped(ck_neighbor, N_dev)
+        cost2 = (window_cost(best2[1][3], Km, best2[0])
+                 if best2 is not None else None)
+        blg = build_banded_map_grouped(ck_map, N_dev)
         costg = grouped_cost(blg[3]) if blg is not None else None
         costs = [c for c in (cost1, cost2, costg) if c is not None]
         cmin = min(costs) if costs else None
@@ -781,6 +949,11 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
             bd_lane = jnp.asarray(lane_a, jnp.int32)
             bd_sel = jnp.asarray(sel_a, jnp.int32)
             bd_base = jnp.asarray(base_a, jnp.int32)
+        if cmin is None:
+            # No banded map built: gather falls back to the full-K
+            # ck_neighbor XLA gather, so the slot cap must not apply.
+            bd_kcap = None
+            bd_of = None
     elif ml is not None:
         from ..ops.banded_gather import build_banded_map2
         # Kernel cost per gather is ~ NW * W candidate rows; search a small
@@ -820,9 +993,12 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     return DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
         grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W, bd2_W=bd2_W,
-        bd_wgs=bd_wgs,
+        bd_wgs=bd_wgs, bd_k=bd_kcap,
         bd_lane=bd_lane, bd_sel=bd_sel, bd_base=bd_base,
         bd2_lane=bd2[0], bd2_sel=bd2[1], bd2_bases=bd2[2],
+        bd_of_rows=None if bd_of is None else as_i(bd_of[0]),
+        bd_of_slots=None if bd_of is None else as_i(bd_of[1]),
+        bd_of_src=None if bd_of is None else as_i(bd_of[2]),
         ml_exc_cell=None if ml_exc_cell is None else as_i(ml_exc_cell),
         ml_exc_slot=None if ml_exc_slot is None else as_i(ml_exc_slot),
         ml_exc_src=None if ml_exc_src is None else as_i(ml_exc_src),

@@ -289,9 +289,49 @@ def test_generic_mesh_multiwindow_dispatch():
                             n_windows=2)
     assert bl2 is not None
     lane, sel, bases, W2 = bl2
+    # The hand-built map covers the FULL slot range: clear the slot cap.
     dm2 = replace(dm, bd_lane=None, bd_sel=None, bd_base=None, bd_W=None,
                   bd2_lane=jnp.asarray(lane), bd2_sel=jnp.asarray(sel),
-                  bd2_bases=jnp.asarray(bases), bd2_W=W2)
+                  bd2_bases=jnp.asarray(bases), bd2_W=W2,
+                  bd_k=None, bd_of_rows=None, bd_of_slots=None,
+                  bd_of_src=None)
     assert dm2.banded and not dm2.multilevel
     out = np.asarray(dm2.gather(jnp.arange(dm.num_cells, dtype=jnp.float32)))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_slot_cap_exactness():
+    """Voronoi meshes carry K=9+ slots with the 9th occupied on ~0.1% of
+    cells; encode caps the banded kernel at 8 slots (one vreg per walk
+    step) and carries the occupied overflow as a COO list.  gather() and
+    banded_dot() must stay EXACT (pad slots hold zero coefficients — the
+    assembly invariant)."""
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_voronoi_mesh
+    from cfd2_tpu.models.coupled import CoupledSolver
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_voronoi_mesh(geo, 0.02, 0.02, 1.2, (3.0, 1.0), seed=1)
+    dm = CoupledSolver(mesh).mesh
+    if dm.bd_k is None:                      # seed produced a K<=8 mesh
+        import pytest
+        pytest.skip("mesh has no capped slots")
+    assert dm.bd_of_rows.shape[0] >= 1
+    rng = np.random.default_rng(5)
+    N, K = dm.num_cells, dm.max_faces
+    ck = np.asarray(dm.ck_neighbor)
+    msk = np.asarray(dm.ck_mask)
+    x = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    out = np.asarray(dm.gather(x))
+    np.testing.assert_array_equal(out, np.asarray(x)[ck])
+    x2 = jnp.asarray(rng.standard_normal((N, 3)), jnp.float32)
+    np.testing.assert_array_equal(np.asarray(dm.gather(x2)),
+                                  np.asarray(x2)[ck])
+    off = jnp.asarray(rng.standard_normal((N, K)) * msk, jnp.float32)
+    y = jnp.asarray(rng.standard_normal(N), jnp.float32)
+    o0, o1 = dm.banded_dot((x, y), (off,), (((0, 0),), ((0, 1),)))
+    np.testing.assert_allclose(
+        np.asarray(o0), (np.asarray(off) * np.asarray(x)[ck]).sum(1),
+        rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(o1), (np.asarray(off) * np.asarray(y)[ck]).sum(1),
+        rtol=2e-5, atol=2e-5)
