@@ -64,22 +64,24 @@ def ell_from_rank(owner, neigh, rank, N):
 
 
 def report(tag, ck, N_dev):
+    """Costs in vreg-gather units (production model: banded_gather
+    .window_cost / grouped_cost)."""
     from cfd2_tpu.ops.banded_gather import (build_banded_map,
                                             build_banded_map2,
                                             build_banded_map_grouped,
-                                            grouped_cost)
+                                            grouped_cost, window_cost)
     K = ck.shape[1]
     r = build_banded_map(ck, N_dev, w_max=200)
-    c1 = r[3] * K if r else None
+    c1 = window_cost(r[3], K) if r else None
     best2 = None
     for nw in (2, 3, 4):
         r2 = build_banded_map2(ck, N_dev, w_max=200, n_windows=nw)
-        if r2 and (best2 is None or nw * r2[3] * K < best2):
-            best2 = nw * r2[3] * K
+        if r2 and (best2 is None or window_cost(r2[3], K, nw) < best2):
+            best2 = window_cost(r2[3], K, nw)
     rg = build_banded_map_grouped(ck, N_dev, w_max=200)
     cg = grouped_cost(rg[3]) if rg else None
     print(f"  {tag}: K={K} W={r[3] if r else '>200'} "
-          f"costs window={c1} multi={best2} grouped={cg}"
+          f"vreg costs window={c1} multi={best2} grouped={cg}"
           f" wgs={rg[3][0] if rg else None}")
 
 
