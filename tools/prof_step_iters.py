@@ -19,15 +19,20 @@ def main():
     size = float(sys.argv[1]) if len(sys.argv) > 1 else 0.005
     mesh_type = sys.argv[2] if len(sys.argv) > 2 else "delaunay"
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 4
+    # cutcell supports refined meshes: pass max_cell as argv[4] (or via
+    # CFD2_MAXCELL); equal min/max gives the uniform structured mirror.
+    max_cell = float(sys.argv[4]) if len(sys.argv) > 4 else float(
+        os.environ.get("CFD2_MAXCELL", "0"))
 
-    from cfd2_tpu.mesh import (ChannelWithObstacle, generate_delaunay_mesh,
-                               generate_voronoi_mesh)
+    from cfd2_tpu.mesh import (ChannelWithObstacle, generate_cut_cell_mesh,
+                               generate_delaunay_mesh, generate_voronoi_mesh)
     from cfd2_tpu.models.coupled import CoupledSolver
 
     gen = {"delaunay": generate_delaunay_mesh,
-           "voronoi": generate_voronoi_mesh}[mesh_type]
+           "voronoi": generate_voronoi_mesh,
+           "cutcell": generate_cut_cell_mesh}[mesh_type]
     geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
-    mesh = gen(geo, size, size, 1.2, (3.0, 1.0))
+    mesh = gen(geo, size, max(max_cell, size), 1.2, (3.0, 1.0))
     s = CoupledSolver(mesh)
     s.set_dt(min(0.002, 0.4 * size))
     s.set_viscosity(0.01)
