@@ -40,8 +40,13 @@ import numpy as np
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 
 ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
-DEVELOPED_STATE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_developed_1m.npz")
+# Developed-state checkpoint; override (e.g. bench_developed_2m.npz from
+# tools/make_developed_2m.py) to measure the developed line at other sizes.
+# A grid-shape mismatch with the benched mesh skips the developed line.
+DEVELOPED_STATE = os.environ.get(
+    "BENCH_DEV_STATE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 "bench_developed_1m.npz"))
 
 
 def _time_steps(s, steps, mode):
