@@ -38,6 +38,9 @@ def main():
     ap.add_argument("--out", default="/tmp/cfd2_frames")
     ap.add_argument("--html", default="",
                     help="write an interactive HTML viewer of the snapshots")
+    ap.add_argument("--forces", action="store_true",
+                    help="print Cd/Cl on the immersed obstacle each "
+                         "verbose step")
     ap.add_argument("--profile", action="store_true")
     ap.add_argument("--scan", action="store_true",
                     help="run fused lax.scan loop (no snapshots)")
@@ -93,7 +96,7 @@ def main():
 
         sim.run(args.steps, snapshot_every=args.snapshot_every,
                 on_snapshot=snap if args.snapshot_every else None,
-                verbose=True)
+                verbose=True, show_forces=args.forces)
         if args.snapshot_every:
             print(f"frames in {args.out}")
         if args.html and frame_paths:

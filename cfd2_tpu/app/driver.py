@@ -120,8 +120,27 @@ class Simulation:
     def reynolds(self) -> float:
         return self.fluid.reynolds(self.inlet_velocity, self.domain[1])
 
+    def force_coefficients(self):
+        """(Cd, Cl) on the immersed obstacle, or ``None`` when the geometry
+        has no immersed body (backstep/rect: the obstacle face mask is
+        empty).  A capability beyond the reference app (which only renders
+        fields); see cfd2_tpu/utils/forces.py."""
+        from ..utils.forces import force_coefficients, obstacle_face_mask
+
+        if not hasattr(self, "_force_mask"):
+            self._force_mask = obstacle_face_mask(self.solver.mesh)
+            self._d_ref = 2.0 * getattr(self.geo, "obstacle_radius", 0.0)
+        if self._force_mask.sum() == 0 or self._d_ref <= 0:
+            return None
+        cd, cl = force_coefficients(self.solver.mesh, self.solver.state,
+                                    self.solver.params, self._force_mask,
+                                    u_ref=max(abs(self.inlet_velocity), 1e-9),
+                                    d_ref=self._d_ref)
+        return float(cd), float(cl)
+
     def run(self, num_steps: int, snapshot_every: int = 0,
-            on_snapshot=None, verbose: bool = False):
+            on_snapshot=None, verbose: bool = False,
+            show_forces: bool = False):
         """Host loop with adaptive dt and optional snapshot callback."""
         s = self.solver
         with self.profiling.session():
@@ -138,9 +157,12 @@ class Simulation:
                     s.step()
                 self.profiling.increment_iteration()
                 if verbose and i % 10 == 0:
+                    forces = self.force_coefficients() if show_forces else None
+                    extra = (f" Cd={forces[0]:.3f} Cl={forces[1]:+.3f}"
+                             if forces else "")
                     print(f"step {i}: t={float(s.state.time):.4f} "
                           f"dt={float(s.params.dt):.2e} "
-                          f"outer={int(s.state.outer_iters)}")
+                          f"outer={int(s.state.outer_iters)}{extra}")
                 if snapshot_every and on_snapshot and i % snapshot_every == 0:
                     on_snapshot(i, s)
                 if s.should_stop:

@@ -90,6 +90,8 @@ async function tick() {
     document.getElementById('stats').textContent =
       `step ${s.step}  t=${s.time.toFixed(4)}  dt=${s.dt.toExponential(2)}` +
       `  outer=${s.outer_iters}  max|u|=${s.max_vel.toFixed(3)}` +
+      (s.cd == null ? '' :
+       `  Cd=${s.cd.toFixed(3)} Cl=${s.cl.toFixed(3)}`) +
       `  Re=${s.re.toFixed(0)}  ${s.cells} cells` +
       `  ${s.paused ? 'PAUSED' : (s.should_stop ? 'STOPPED' :
          (s.busy ? 'stepping/compiling' : 'running'))}`;
@@ -136,6 +138,7 @@ class LiveSolverThread(threading.Thread):
                 s.step()
                 self.busy = False
                 self.step_i += 1
+                forces = self.sim.force_coefficients()
                 self.stats = {
                     "step": self.step_i,
                     "time": float(s.state.time),
@@ -143,6 +146,8 @@ class LiveSolverThread(threading.Thread):
                     "outer_iters": int(s.state.outer_iters),
                     "max_vel": max_vel,
                     "should_stop": bool(s.should_stop),
+                    "cd": forces[0] if forces else None,
+                    "cl": forces[1] if forces else None,
                 }
             if s.should_stop:
                 break
