@@ -142,14 +142,27 @@ class Simulation:
             on_snapshot=None, verbose: bool = False,
             show_forces: bool = False):
         """Host loop with adaptive dt and optional snapshot callback."""
+        from ..runtime.async_reader import AsyncFieldReader
+
         s = self.solver
+        # Adaptive-dt readback: a device-side max-|u| reduction read through
+        # the double-buffered async reader — the value used may be one step
+        # stale, exactly the reference's async convergence-read semantics
+        # (async_buffer.rs:11-248; the UI thread's adaptive dt reads
+        # published state too, app.rs:878-909).  4 B/step instead of a
+        # blocking full-field get_u.
+        mv_reader = AsyncFieldReader(depth=2)
         with self.profiling.session():
             for i in range(num_steps):
                 if self.adaptive:
-                    with self.profiling.scope("get_u(adaptive_dt)",
-                                              ProfileCategory.DEVICE_READ,
-                                              s.mesh.num_cells * 8):
-                        max_vel = float(np.linalg.norm(s.get_u(), axis=1).max())
+                    with self.profiling.scope("max_vel(adaptive_dt,async)",
+                                              ProfileCategory.DEVICE_READ, 4):
+                        mv_reader.start_read(s.max_velocity_device())
+                        mv_reader.poll()
+                        mv = mv_reader.get_last_value()
+                        if mv is None:
+                            mv = mv_reader.flush()
+                        max_vel = float(mv)
                     s.set_dt(self.controller.next_dt(float(s.params.dt),
                                                      max_vel))
                 with self.profiling.scope("step",

@@ -623,6 +623,11 @@ def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
     return state, params, metrics
 
 
+@jax.jit
+def _max_vel_device(u: jnp.ndarray) -> jnp.ndarray:
+    return jnp.max(jnp.linalg.norm(u, axis=1))
+
+
 class CoupledSolver:
     """Host-side façade with the reference's headless API contract.
 
@@ -694,6 +699,13 @@ class CoupledSolver:
 
     def get_u(self) -> np.ndarray:
         return np.asarray(self.mesh.to_host_order(self.state.u))
+
+    def max_velocity_device(self):
+        """On-device max |u| as an *unfetched* scalar array.  Pairs with
+        runtime.async_reader.AsyncFieldReader so host loops (adaptive dt,
+        live stats) overlap the 4-byte readback with the next step instead
+        of pulling the full field (reference async_buffer.rs:11-248)."""
+        return _max_vel_device(self.state.u)
 
     def get_p(self) -> np.ndarray:
         return np.asarray(self.mesh.to_host_order(self.state.p))

@@ -131,7 +131,7 @@ class LiveSolverThread(threading.Thread):
                 break
             with self.lock:
                 self.busy = True
-                max_vel = float(np.linalg.norm(s.get_u(), axis=1).max())
+                max_vel = float(s.max_velocity_device())
                 if self.sim.adaptive:
                     s.set_dt(self.sim.controller.next_dt(
                         float(s.params.dt), max_vel))
