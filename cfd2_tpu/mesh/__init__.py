@@ -20,6 +20,7 @@ from .structs import (
     Mesh,
 )
 from .cut_cell import generate_cut_cell_mesh
+from .utils import retag_lid_cavity
 from .delaunay import generate_delaunay_mesh, triangulate
 from .voronoi import generate_voronoi_mesh
 
@@ -28,4 +29,5 @@ __all__ = [
     "CircleObstacle", "Mesh", "generate_cut_cell_mesh",
     "generate_delaunay_mesh", "generate_voronoi_mesh", "triangulate",
     "BOUNDARY_NONE", "BOUNDARY_INLET", "BOUNDARY_OUTLET", "BOUNDARY_WALL",
+    "retag_lid_cavity",
 ]
