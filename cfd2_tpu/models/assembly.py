@@ -50,6 +50,18 @@ def _inlet_velocity(params: SolverParams, time: jnp.ndarray):
     return params.inlet_velocity * ramp
 
 
+def _inlet_bc(mesh: DeviceMesh, params: SolverParams, time: jnp.ndarray,
+              slot: bool):
+    """Inlet u value per face ((F,) face-major) or per slot ((N, K)).
+
+    Scalar when the mesh carries no profile (the reference's uniform inlet);
+    CoupledSolver.set_inlet_profile attaches a per-face scale for standard
+    benchmarks with non-uniform inlets (Schäfer–Turek parabolic)."""
+    u_bc = _inlet_velocity(params, time)
+    scale = mesh.ck_inlet_scale if slot else mesh.f_inlet_scale
+    return u_bc if scale is None else u_bc * scale
+
+
 def _time_coeff(mesh: DeviceMesh, params: SolverParams, config: SolverConfig):
     """Diagonal time-derivative coefficient per cell (prepare_coupled.wgsl:82-89)."""
     base = mesh.c_vol * params.density / params.dt
@@ -80,7 +92,7 @@ def compute_fluxes(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     u_n = u_face[:, 0] * mesh.f_nx + u_face[:, 1] * mesh.f_ny
     flux_internal = params.density * (u_n * mesh.f_area + rc_term)
 
-    u_bc = _inlet_velocity(params, time)
+    u_bc = _inlet_bc(mesh, params, time, slot=False)
     flux_inlet = params.density * u_bc * mesh.f_nx * mesh.f_area
     un_own = u_own[:, 0] * mesh.f_nx + u_own[:, 1] * mesh.f_ny
     flux_outlet = jnp.maximum(0.0, params.density * un_own * mesh.f_area)
@@ -94,7 +106,7 @@ def compute_fluxes(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 def _boundary_slot_fluxes(mesh, state, params, time):
     """Boundary-face mass flux for every slot (inlet ramp / outlet guard /
     wall zero), elementwise (no neighbor data needed)."""
-    u_bc = _inlet_velocity(params, time)
+    u_bc = _inlet_bc(mesh, params, time, slot=True)
     an = mesh.ck_area * mesh.ck_nx
     fl_inlet = params.density * u_bc * an
     un = state.u[:, 0][:, None] * mesh.ck_nx + state.u[:, 1][:, None] * mesh.ck_ny
@@ -261,7 +273,7 @@ def prepare(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         jnp.sum(p_face * mesh.ck_ny * mesh.ck_area, axis=1) * inv_vol,
     ], axis=1)
 
-    u_bc = _inlet_velocity(params, state.time)
+    u_bc = _inlet_bc(mesh, params, state.time, slot=True)
     if u_other is None:
         u_other = mesh.gather(state.u)                     # (N, K, 2)
     for_comp = []
@@ -398,7 +410,7 @@ def _assemble_parts(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     scalar_diag_c = scalar_coeff * internal
 
     # ---- boundary contributions (coupled_assembly_merged.wgsl:352-419) ----
-    u_bc = _inlet_velocity(params, state.time)
+    u_bc = _inlet_bc(mesh, params, state.time, slot=True)
     is_inlet = (is_b > 0) & (bdry == 1)
     is_wall = (is_b > 0) & (bdry == 3)
     is_outlet = (is_b > 0) & (bdry == 2)
@@ -524,10 +536,10 @@ def assemble_ell(mesh: DeviceMesh, state: SolverState,
     """Assemble the coupled system in scalar-coefficient ELL form for the
     banded (unstructured) path (ops/ellsys.py) — the unstructured twin of
     assemble_stencil: no (N, K, 3, 3) block materialization."""
-    from ..ops.ellsys import EllSystem
+    from ..ops.ellsys import EllSystem, with_blocked
 
     c = _assemble_parts(mesh, state, params, config)
-    return EllSystem(
+    return with_blocked(EllSystem(
         off_mom=c["off_mom"], off_up=c["off_up"], off_vp=c["off_vp"],
         off_pu=c["off_pu"], off_pv=c["off_pv"], off_pp=c["off_pp"],
         P_off=c["P_off"],
@@ -537,4 +549,4 @@ def assemble_ell(mesh: DeviceMesh, state: SolverState,
         diag_u_inv=_safe_inv(c["diag_u"]),
         diag_p_inv=_safe_inv(c["P_diag"]),
         rhs=c["rhs"],
-    )
+    ), mesh)

@@ -913,7 +913,10 @@ def _gershgorin_lmax(diag, off):
     outside its interval (a fixed 1.9 bound measured NaN: the pressure
     M-matrix's interior rows reach exactly 2.0)."""
     ad = jnp.abs(diag)
-    ratio = (ad + jnp.sum(jnp.abs(off), axis=1)) / jnp.maximum(ad, 1e-30)
+    row_abs = jnp.sum(jnp.abs(off), axis=1)
+    if off.ndim == 3:            # pre-blocked (NB, K, LANES) plane
+        row_abs = row_abs.reshape(-1)[:ad.shape[0]]
+    ratio = (ad + row_abs) / jnp.maximum(ad, 1e-30)
     return jnp.max(jnp.where(ad > 1e-30, ratio, 1.0))
 
 
@@ -1118,6 +1121,13 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
         return pressure_solve
 
     level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+    # Level 0 dots ride the banded kernel: use the pre-blocked plane when
+    # the system carries one (EllSystem on banded meshes) so the V-cycle's
+    # ~4 level-0 operator applications per cycle skip the (N, K) ->
+    # (NB, K, LANES) relayout.  Coarsening above used the flat (N, K) form.
+    p_off_b = getattr(sys, "P_offB", None)
+    if mesh.banded and p_off_b is not None:
+        level_values = [(sys.P_diag, p_off_b)] + list(level_values[1:])
     dc, oc = level_values[-1]
     cols = (hier.levels[-1].ell_neighbor if hier.levels
             else jnp.zeros((dc.shape[0], 1), jnp.int32))

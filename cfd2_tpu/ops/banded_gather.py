@@ -401,6 +401,16 @@ def _to_blocked(off: jnp.ndarray, NB: int, K: int) -> jnp.ndarray:
     return o.reshape(NB, LANES, K).transpose(0, 2, 1)
 
 
+def to_blocked(off: jnp.ndarray, num_cells: int) -> jnp.ndarray:
+    """Public form of :func:`_to_blocked`: pre-block an (M, K) coefficient
+    plane into the kernel's native (NB, K, LANES) layout ONCE (per assembly)
+    so per-iteration ``banded_dot`` calls skip the relayout.  The (NB, K,
+    LANES) -> (N, K) transpose is a minor-dims relayout that measured as a
+    dominant per-FGMRES-iteration cost on unstructured meshes (round 4)."""
+    NB = (num_cells + LANES - 1) // LANES
+    return _to_blocked(off, NB, off.shape[1])
+
+
 def banded_gather_nk(x: jnp.ndarray, lane: jnp.ndarray, sel: jnp.ndarray,
                      base: jnp.ndarray, W: int,
                      m_out: int | None = None, wgs=None) -> jnp.ndarray:
@@ -494,7 +504,8 @@ def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
 
     ``rs``: tuple of (n,) right-hand sides sharing the operator; ``dinv``:
     (n,) inverse diagonal; ``off``: (n, K) off-diagonal coefficients over
-    the banded neighbor map.  Semantics match ellsys._momentum_solve's
+    the banded neighbor map (or pre-blocked (NB, K, LANES) from
+    :func:`to_blocked`).  Semantics match ellsys._momentum_solve's
     loop of banded_dot calls exactly.  Returns a tuple of (m_out,) arrays.
     """
     NB, K, _ = lane.shape
@@ -508,7 +519,8 @@ def banded_jacobi_sweeps(rs, dinv, off, lane, sel, bases, W: int,
     lane_p = _pad_blocks(lane, NBp)
     sel_p = _pad_blocks(sel, NBp)
     bases_p = _pad_blocks(basesv, NBp)
-    off_b = _pad_blocks(_to_blocked(off, NB, K), NBp)
+    off_b = _pad_blocks(off if off.ndim == 3 else _to_blocked(off, NB, K),
+                        NBp)
     n = rs[0].shape[0]
     pad = NBp * LANES - n
     dinv_r = jnp.pad(dinv.astype(jnp.float32), (0, pad)).reshape(NBp, LANES)
@@ -543,13 +555,14 @@ def banded_dot(xs, offs, lane, sel, bases, W: int, prods,
     sum_k offs[oi][i, k] * xs[ci][idx[i, k]].
 
     ``xs``: tuple of (n_src,) operand components; ``offs``: tuple of (M, K)
-    coefficient planes (blocked in-kernel); ``prods``: per-output tuple of
-    (off_index, comp_index) pairs.  Returns a tuple of (m_out,) arrays.
-    The gathered neighbor values never touch HBM.
+    coefficient planes — or pre-blocked (NB, K, LANES) planes from
+    :func:`to_blocked`, which skip the per-call relayout; ``prods``:
+    per-output tuple of (off_index, comp_index) pairs.  Returns a tuple of
+    (m_out,) arrays.  The gathered neighbor values never touch HBM.
     """
     NB, K, _ = lane.shape
     bases = bases[:, None] if bases.ndim == 1 else bases
-    offb = tuple(_to_blocked(o, NB, K) for o in offs)
+    offb = tuple(o if o.ndim == 3 else _to_blocked(o, NB, K) for o in offs)
     raws = _banded_raw(tuple(xs), offb, lane, sel, bases, W,
                        prods=tuple(tuple(p) for p in prods), wgs=wgs)
     out = tuple(r.reshape(NB * LANES) for r in raws)

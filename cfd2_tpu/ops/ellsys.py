@@ -20,7 +20,7 @@ ops/amg.make_pressure_solve works unchanged.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import jax
 import jax.numpy as jnp
@@ -48,6 +48,34 @@ class EllSystem:
     diag_u_inv: jnp.ndarray
     diag_p_inv: jnp.ndarray
     rhs: jnp.ndarray             # (N, 3)
+    # Pre-blocked (NB, K, LANES) twins of the off planes (banded meshes
+    # only): the banded kernel's native layout, built ONCE per assembly so
+    # per-FGMRES-iteration dots skip the (N, K) -> (NB, K, LANES) minor-dims
+    # relayout (which measured as a dominant per-iteration cost).  The flat
+    # (N, K) planes above stay for the XLA-gather fallback and for AMG's
+    # Galerkin coarsening (segment_sum over row-major flat order); XLA dead-
+    # code-eliminates whichever form a given jit never reads.
+    off_momB: jnp.ndarray | None = None
+    off_upB: jnp.ndarray | None = None
+    off_vpB: jnp.ndarray | None = None
+    off_puB: jnp.ndarray | None = None
+    off_pvB: jnp.ndarray | None = None
+    off_ppB: jnp.ndarray | None = None
+    P_offB: jnp.ndarray | None = None
+
+
+def with_blocked(es: EllSystem, mesh) -> EllSystem:
+    """Attach the pre-blocked coefficient planes for a banded mesh."""
+    if not mesh.banded:
+        return es
+    from .banded_gather import to_blocked
+    n = mesh.num_cells
+    return replace(
+        es,
+        off_momB=to_blocked(es.off_mom, n), off_upB=to_blocked(es.off_up, n),
+        off_vpB=to_blocked(es.off_vp, n), off_puB=to_blocked(es.off_pu, n),
+        off_pvB=to_blocked(es.off_pv, n), off_ppB=to_blocked(es.off_pp, n),
+        P_offB=to_blocked(es.P_off, n))
 
 
 def _dotK(off, g):
@@ -69,8 +97,8 @@ def spmv(es: EllSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
     if mesh.banded:
         su, sv, sp = mesh.banded_dot(
             (xu, xv, xp),
-            (es.off_mom, es.off_up, es.off_vp,
-             es.off_pu, es.off_pv, es.off_pp),
+            (es.off_momB, es.off_upB, es.off_vpB,
+             es.off_puB, es.off_pvB, es.off_ppB),
             (((0, 0), (1, 2)),            # A_uu gu + G_u gp
              ((0, 1), (2, 2)),            # A_vv gv + G_v gp
              ((3, 0), (4, 1), (5, 2))))   # D_u gu + D_v gv + C gp
@@ -87,7 +115,7 @@ def spmv(es: EllSystem, mesh, x: jnp.ndarray) -> jnp.ndarray:
 def _mom_dot2(es: EllSystem, mesh, z_u, z_v):
     """(A_off z_u, A_off z_v) sharing one kernel's neighbor reads."""
     if mesh.banded:
-        return mesh.banded_dot((z_u, z_v), (es.off_mom,),
+        return mesh.banded_dot((z_u, z_v), (es.off_momB,),
                                (((0, 0),), ((0, 1),)))
     g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
     return _dotK(es.off_mom, g[..., 0]), _dotK(es.off_mom, g[..., 1])
@@ -101,7 +129,7 @@ def _momentum_solve(es: EllSystem, mesh, r_u, r_v, sweeps: int):
     dominates the preconditioner cost."""
     if sweeps >= 3 and mesh.banded and mesh.banded_sweeps_fit(2):
         return mesh.banded_jacobi_sweeps((r_u, r_v), es.diag_u_inv,
-                                         es.off_mom, sweeps)
+                                         es.off_momB, sweeps)
     z_u = es.diag_u_inv * r_u
     z_v = es.diag_u_inv * r_v
     for _ in range(sweeps - 1):
@@ -121,7 +149,7 @@ def chebyshev_pressure_solve(es: EllSystem, mesh, rhs_p, omega: float,
     def sweep(_, carry):
         x_prev, x_cur = carry
         if mesh.banded:
-            (sigma,) = mesh.banded_dot((x_cur,), (es.P_off,), (((0, 0),),))
+            (sigma,) = mesh.banded_dot((x_cur,), (es.P_offB,), (((0, 0),),))
         else:
             sigma = _dotK(es.P_off, mesh.gather(x_cur))
         hat = es.diag_p_inv * (rhs_p - sigma)
@@ -141,7 +169,7 @@ def schur_precond(es: EllSystem, mesh, r: jnp.ndarray, omega: float,
     z_u, z_v = _momentum_solve(es, mesh, r_u, r_v, mom_sweeps)
 
     if mesh.banded:
-        (sig_p,) = mesh.banded_dot((z_u, z_v), (es.off_pu, es.off_pv),
+        (sig_p,) = mesh.banded_dot((z_u, z_v), (es.off_puB, es.off_pvB),
                                    (((0, 0), (1, 1)),))
     else:
         g = mesh.gather(jnp.stack([z_u, z_v], axis=1))
@@ -154,7 +182,7 @@ def schur_precond(es: EllSystem, mesh, r: jnp.ndarray, omega: float,
         z_p = pressure_solve(rhs_p)
 
     if mesh.banded:
-        sg_u, sg_v = mesh.banded_dot((z_p,), (es.off_up, es.off_vp),
+        sg_u, sg_v = mesh.banded_dot((z_p,), (es.off_upB, es.off_vpB),
                                      (((0, 0),), ((1, 0),)))
     else:
         gp = mesh.gather(z_p)

@@ -156,6 +156,13 @@ class DeviceMesh:
     bd_of_slots: jnp.ndarray | None = None
     bd_of_src: jnp.ndarray | None = None
 
+    # Optional per-face inlet velocity profile scale (u_inlet(face) =
+    # params.inlet_velocity * scale); None = uniform inlet (the reference's
+    # only mode, structs.rs:86-101).  Standard benchmarks (Schäfer–Turek)
+    # need a parabolic profile.  f_: (F,) face-major; ck_: (N, K) slots.
+    f_inlet_scale: jnp.ndarray | None = None
+    ck_inlet_scale: jnp.ndarray | None = None
+
     _dyn_fields = (
         "f_owner", "f_neighbor", "f_neighbor_safe", "f_internal", "f_boundary",
         "f_area", "f_nx", "f_ny", "f_cx", "f_cy", "f_lambda", "f_dist_cc",
@@ -170,6 +177,7 @@ class DeviceMesh:
         "ml_pair_cell_a", "ml_pair_slot_a", "ml_pair_cell_b",
         "ml_pair_slot_b",
         "bd_of_rows", "bd_of_slots", "bd_of_src",
+        "f_inlet_scale", "ck_inlet_scale",
     )
 
     def tree_flatten(self):
@@ -306,13 +314,21 @@ class DeviceMesh:
                          m_out=self.num_cells, wgs=wgs)
         if self.bd_k is None:
             return out
+
+        def entry(o):
+            # One coefficient per overflow entry, from either layout:
+            # (N, K) flat or (NB, K, LANES) pre-blocked.
+            if o.ndim == 3:
+                return o[self.bd_of_rows // 128, self.bd_of_slots,
+                         self.bd_of_rows % 128]
+            return o[self.bd_of_rows, self.bd_of_slots]
+
         # Exact COO correction for the occupied slots >= bd_k.
         out = list(out)
         for j, pairs in enumerate(prods):
             corr = 0.0
             for (oi, ci) in pairs:
-                corr = corr + (offs[oi][self.bd_of_rows, self.bd_of_slots]
-                               * xs[ci][self.bd_of_src])
+                corr = corr + entry(offs[oi]) * xs[ci][self.bd_of_src]
             out[j] = out[j].at[self.bd_of_rows].add(corr)
         return tuple(out)
 
