@@ -670,6 +670,26 @@ class CoupledSolver:
     def set_ramp_time(self, t):
         self.params = replace(self.params, ramp_time=jnp.asarray(t, jnp.float32))
 
+    def set_inlet_profile(self, fn):
+        """Per-face inlet profile: u_inlet(face) = inlet_velocity * fn(x, y).
+
+        ``fn`` maps face-center coordinate arrays to a scale (e.g. the
+        Schäfer–Turek parabolic 4 y (H - y) / H^2 normalized to its mean).
+        The reference supports only a uniform inlet (structs.rs:86-101);
+        standard validation benchmarks need this.  Pass ``None`` to clear.
+        Changes the mesh pytree structure, so the next step retraces."""
+        if fn is None:
+            self.mesh = replace(self.mesh, f_inlet_scale=None,
+                                ck_inlet_scale=None)
+            return
+        fx = np.asarray(self.mesh.f_cx)
+        fy = np.asarray(self.mesh.f_cy)
+        scale = np.asarray(fn(fx, fy), np.float32)
+        ckf = np.asarray(self.mesh.ck_face)
+        self.mesh = replace(self.mesh,
+                            f_inlet_scale=jnp.asarray(scale),
+                            ck_inlet_scale=jnp.asarray(scale[ckf]))
+
     def set_scheme(self, scheme: int):
         self.config = replace(self.config, scheme=int(scheme))
 

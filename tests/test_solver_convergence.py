@@ -191,3 +191,34 @@ def test_mixed_phase_solver_matches_f32():
     scale = np.abs(outs["f32"][0]).max()
     assert du < 5e-3 * scale and np.isfinite(dp)
     assert dp < 5e-2 * max(np.abs(outs["f32"][1]).max(), 1e-6)
+
+
+def test_inlet_profile_uniform_matches_scalar():
+    """set_inlet_profile(ones) must be bitwise-identical to the scalar
+    inlet (the scale multiplies u_bc everywhere it appears), and a
+    parabolic profile must run finite with the inflow weighted to the
+    channel centerline."""
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+
+    def run(profile):
+        s = CoupledSolver(mesh)
+        s.set_dt(0.01)
+        if profile is not None:
+            s.set_inlet_profile(profile)
+        for _ in range(2):
+            s.step()
+        return s.get_u()
+
+    u_scalar = run(None)
+    u_ones = run(lambda x, y: np.ones_like(x))
+    assert np.array_equal(u_scalar, u_ones)
+
+    u_par = run(lambda x, y: 6.0 * y * (1.0 - y))   # mean 1 on [0, 1]
+    assert np.isfinite(u_par).all()
+    inlet = mesh.cell_cx < 0.1
+    y = mesh.cell_cy[inlet]
+    ux = u_par[inlet, 0]
+    mid = ux[np.abs(y - 0.5) < 0.2].mean()
+    edge = ux[(y < 0.15) | (y > 0.85)].mean()
+    assert mid > 1.5 * max(edge, 1e-9)
