@@ -37,6 +37,7 @@ def retag_lid_cavity(mesh, domain_size, lid_side: str = "top",
     from .structs import BOUNDARY_INLET, BOUNDARY_OUTLET, BOUNDARY_WALL
 
     w, h = domain_size
+    tol = tol * max(w, h)        # relative to the domain scale (advisor r3)
     bnd = mesh.face_neighbor < 0
     fx, fy = mesh.face_cx, mesh.face_cy
     side_masks = {

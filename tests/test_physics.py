@@ -108,10 +108,15 @@ def test_lid_driven_cavity_ghia_re100():
     u = s.get_u()
     assert np.isfinite(u).all()
 
+    # The two cell columns straddle x=0.5 (centers at 0.5 +- h/2); average
+    # them per y-row — an exact interpolation to x=0.5 on the uniform grid —
+    # instead of feeding duplicate y values to np.interp (advisor r3).
     col = np.abs(mesh.cell_cx - 0.5) < 0.75 * h
-    y = mesh.cell_cy[col]
-    order = np.argsort(y)
-    ui = np.interp(_GHIA_Y, y[order], u[col, 0][order])
+    yr = np.round(mesh.cell_cy[col] / h - 0.5).astype(int)
+    rows = np.unique(yr)
+    y = np.array([mesh.cell_cy[col][yr == j].mean() for j in rows])
+    ux = np.array([u[col, 0][yr == j].mean() for j in rows])
+    ui = np.interp(_GHIA_Y, y, ux)
     err = np.abs(ui - _GHIA_U).max()
     # 0.034 measured at this resolution (first-order upwind, 32x32);
     # generous headroom for platform drift.

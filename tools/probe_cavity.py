@@ -44,11 +44,14 @@ for i in range(steps):
         print(f"step {i+1}  t={time.time()-t0:.1f}s  max|u|={np.abs(u).max():.4f}")
 
 u = s.get_u()
+# Average the two columns straddling x=0.5 per y-row (exact interpolation
+# to the centerline on the uniform grid; advisor r3).
 col = np.abs(mesh.cell_cx - 0.5) < 0.75 * h
-y = mesh.cell_cy[col]
-ux = u[col, 0]
-o = np.argsort(y)
-ui = np.interp(GHIA_Y, y[o], ux[o])
+yr = np.round(mesh.cell_cy[col] / h - 0.5).astype(int)
+rows = np.unique(yr)
+y = np.array([mesh.cell_cy[col][yr == j].mean() for j in rows])
+ux = np.array([u[col, 0][yr == j].mean() for j in rows])
+ui = np.interp(GHIA_Y, y, ux)
 err = np.abs(ui - GHIA_U)
 for yy, g, m in zip(GHIA_Y, GHIA_U, ui):
     print(f"y={yy:.4f}  ghia={g:+.5f}  ours={m:+.5f}  d={m-g:+.5f}")
