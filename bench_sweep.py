@@ -8,6 +8,7 @@ Prints one JSON line per (size, preconditioner) combination.
 
 import json
 import os
+import sys
 import time
 
 import numpy as np
@@ -22,16 +23,25 @@ def bench_one(min_cell: float, precond: int, steps: int = 6,
                                generate_delaunay_mesh, generate_voronoi_mesh)
     from cfd2_tpu.models.coupled import CoupledSolver
 
-    geo = ChannelWithObstacle(length=3.0, height=1.0,
-                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
-    gen = {"cutcell": generate_cut_cell_mesh,
-           "delaunay": generate_delaunay_mesh,
-           "voronoi": generate_voronoi_mesh}[mesh_type]
-    t0 = time.time()
-    mesh = gen(geo, min_cell, max(max_cell, min_cell), 1.2, (3.0, 1.0))
+    if mesh_type in ("delaunay", "voronoi") and not max_cell:
+        # Unstructured generation at fine h is minutes of host work shared
+        # across bench runs — go through the npz cache.
+        sys.path.insert(0, os.path.join(os.path.dirname(
+            os.path.abspath(__file__)), "tools"))
+        from mesh_cache import get_mesh
+        mesh = get_mesh(mesh_type, min_cell)
+    else:
+        geo = ChannelWithObstacle(length=3.0, height=1.0,
+                                  obstacle_center=(1.0, 0.5),
+                                  obstacle_radius=0.2)
+        gen = {"cutcell": generate_cut_cell_mesh,
+               "delaunay": generate_delaunay_mesh,
+               "voronoi": generate_voronoi_mesh}[mesh_type]
+        t0 = time.time()
+        mesh = gen(geo, min_cell, max(max_cell, min_cell), 1.2, (3.0, 1.0))
+        print(f"# {mesh_type} {min_cell}: {mesh.num_cells} cells "
+              f"({time.time()-t0:.0f}s)", flush=True)
     n = mesh.num_cells
-    print(f"# {mesh_type} {min_cell}: {n} cells ({time.time()-t0:.0f}s)",
-          flush=True)
     s = CoupledSolver(mesh)
     s.set_dt(min(0.002, 0.4 * min_cell))
     s.set_precond_type(precond)
