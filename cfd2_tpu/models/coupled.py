@@ -588,6 +588,10 @@ def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             "max_vel": jnp.max(jnp.linalg.norm(state.u, axis=1)),
             "should_stop": state.should_stop,
         }
+        # dt_old tracks the step actually taken so BDF2's variable-step
+        # ratio r = dt/dt_old returns to 1 after a set_dt change (holding
+        # r at its first-step value is zero-UNstable for r > 1+sqrt(2)).
+        params = replace(params, dt_old=params.dt)
         return (state, params), metrics
 
     (state, params), metrics = lax.scan(body, (state, params), None,
@@ -754,12 +758,20 @@ class CoupledSolver:
         else:
             self.state = step(self.mesh, self.state, self.params, self.config,
                               self._get_amg())
+        # The step just taken becomes the BDF2 history step: without this
+        # rotation a single set_dt change pins r = dt/dt_old at its
+        # first-step value forever, and BDF2 is zero-UNstable for
+        # r > 1+sqrt(2) (exponential blowup from round-off fields).
+        if self.params.dt_old is not self.params.dt:
+            self.params = replace(self.params, dt_old=self.params.dt)
 
     def run(self, num_steps: int):
         """Run N steps in one scan; returns per-step metrics (host arrays)."""
         self.state, metrics = multi_step(self.mesh, self.state, self.params,
                                          self.config, num_steps,
                                          self._get_amg())
+        if num_steps > 0:   # scan rotated dt_old internally; mirror it
+            self.params = replace(self.params, dt_old=self.params.dt)
         return jax.tree.map(np.asarray, metrics)
 
     # --- checkpoint/resume (new capability; runtime/checkpoint.py) ---

@@ -48,3 +48,31 @@ def test_coupled_schemes_stay_finite(bstep_mesh, scheme, time_scheme, name):
     assert np.isfinite(u).all(), f"{name}: velocity NaN/Inf"
     assert np.isfinite(p).all(), f"{name}: pressure NaN/Inf"
     assert np.abs(u).max() < 100.0, f"{name}: velocity blow-up"
+
+
+def test_bdf2_stable_after_dt_change(bstep_mesh):
+    """A single set_dt change must not pin the BDF2 step ratio: dt_old
+    rotates to the step actually taken, so r = dt/dt_old returns to 1.
+    (Variable-step BDF2 is zero-UNstable for constant r > 1+sqrt(2);
+    the un-rotated ratio blew up from round-off fields in ~8 steps.)"""
+    s = CoupledSolver(bstep_mesh)
+    s.set_viscosity(0.001)
+    s.set_ramp_time(0.5)
+    s.set_time_scheme(1)
+    s.set_dt(float(s.params.dt) * 4.0)   # r would be 4 > 1+sqrt(2)
+    for _ in range(12):
+        s.step()
+    u = s.get_u()
+    assert np.isfinite(u).all()
+    assert np.abs(u).max() < 10.0, "BDF2 blow-up after dt change"
+
+    # run() (the scanned path) must rotate too.
+    s2 = CoupledSolver(bstep_mesh)
+    s2.set_viscosity(0.001)
+    s2.set_ramp_time(0.5)
+    s2.set_time_scheme(1)
+    s2.set_dt(float(s2.params.dt) * 4.0)
+    s2.run(12)
+    u2 = s2.get_u()
+    assert np.isfinite(u2).all()
+    assert np.abs(u2).max() < 10.0
