@@ -29,6 +29,22 @@ def row_sharding(jmesh: JMesh, axis: str = "y"):
     return NamedSharding(jmesh, P(axis))
 
 
+def shard_cellwise(tree, num_cells: int, jmesh: JMesh, axis: str = "y"):
+    """Place every array in ``tree`` whose leading axis is ``num_cells``
+    row-sharded over ``axis``; everything else replicated.  Works for
+    SolverState, DeviceMesh, and AMG hierarchies alike (an AMG hierarchy's
+    level-0 transfer maps are cell-sized; coarse levels replicate)."""
+    cell_sh = row_sharding(jmesh, axis)
+    rep = NamedSharding(jmesh, P())
+
+    def place(x):
+        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == num_cells:
+            return jax.device_put(x, cell_sh)
+        return jax.device_put(x, rep)
+
+    return jax.tree.map(place, tree)
+
+
 def shard_state(mesh: DeviceMesh, state: SolverState, jmesh: JMesh,
                 axis: str = "y") -> SolverState:
     """Place all cell-sized state arrays row-sharded; scalars replicated."""
@@ -38,27 +54,10 @@ def shard_state(mesh: DeviceMesh, state: SolverState, jmesh: JMesh,
     assert ny % ndev == 0, (
         f"ny={ny} not divisible by {ndev} devices; encode with "
         f"pad_rows_to={ndev}")
-    cell_sh = row_sharding(jmesh, axis)
-    rep = NamedSharding(jmesh, P())
-
-    def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == mesh.num_cells:
-            return jax.device_put(x, cell_sh)
-        return jax.device_put(x, rep)
-
-    return jax.tree.map(place, state)
+    return shard_cellwise(state, mesh.num_cells, jmesh, axis)
 
 
 def shard_mesh(mesh: DeviceMesh, jmesh: JMesh, axis: str = "y") -> DeviceMesh:
     """Place the mesh's cell-sized arrays row-sharded (face arrays and host
     mappings replicated — they are outside the hot loop)."""
-    ny, nx = mesh.grid_shape
-    cell_sh = row_sharding(jmesh, axis)
-    rep = NamedSharding(jmesh, P())
-
-    def place(x):
-        if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == mesh.num_cells:
-            return jax.device_put(x, cell_sh)
-        return jax.device_put(x, rep)
-
-    return jax.tree.map(place, mesh)
+    return shard_cellwise(mesh, mesh.num_cells, jmesh, axis)
