@@ -86,6 +86,30 @@ class Simulation:
     target_cfl: float = 0.5
 
     def __post_init__(self):
+        self._build()
+
+    def rebuild(self, geometry: str | None = None,
+                mesh_type: str | None = None,
+                cell_size: float | None = None,
+                max_cell_size: float | None = None):
+        """Rebuild the mesh and solver from (possibly new) panel-selected
+        geometry / mesh type / cell sizes — the reference's Init/Reset
+        contract (ui/app.rs:301-393 re-runs build_mesh at :395-482 from the
+        panel state).  Fluid, schemes, inlet, and relaxation settings carry
+        over; fields restart from the inlet-column impulse."""
+        if geometry is not None:
+            self.geometry = geometry
+        if mesh_type is not None:
+            self.mesh_type = mesh_type
+        if cell_size is not None:
+            self.cell_size = cell_size
+        if max_cell_size is not None:
+            self.max_cell_size = max_cell_size
+        if hasattr(self, "_force_mask"):      # stale face mask of the old mesh
+            del self._force_mask
+        self._build()
+
+    def _build(self):
         geo, domain = _GEOMETRIES[self.geometry]()
         self.geo = geo
         self.domain = domain

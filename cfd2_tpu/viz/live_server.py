@@ -80,6 +80,16 @@ label { margin-left: .6em; }
 <label>adaptive <input type="checkbox" checked
  onchange="ctl('adaptive='+(this.checked?1:0))"></label>
 </div>
+<div class="row">
+<label>geometry <select onchange="ctl('geometry='+this.value)">
+<option>channel</option><option>backstep</option><option>rect</option>
+</select></label>
+<label>mesh <select onchange="ctl('mesh_type='+this.value)">
+<option>cutcell</option><option>delaunay</option><option>voronoi</option>
+</select></label>
+<label>cell size <input size="6" onchange="ctl('cell='+this.value)"></label>
+<span style="color:#888">(applied on Reset — rebuilds the mesh)</span>
+</div>
 <div id="stats">connecting...</div>
 <img id="frame" src="/frame.png">
 <script>
@@ -120,16 +130,19 @@ class LiveSolverThread(threading.Thread):
         self.step_i = 0
         self.stats = {"step": 0, "time": 0.0, "dt": 0.0, "outer_iters": 0,
                       "max_vel": 0.0, "should_stop": False}
+        self.pending_build: dict = {}
+        self.on_rebuild = None        # set by LiveServer: swaps the renderer
 
     def run(self):
-        s = self.sim.solver
         while not self.shutdown:
+            s = self.sim.solver      # re-read: Reset may have rebuilt it
             if not self.running.is_set():
                 time.sleep(0.05)
                 continue
             if self.max_steps and self.step_i >= self.max_steps:
                 break
             with self.lock:
+                s = self.sim.solver  # may have been swapped before the lock
                 self.busy = True
                 max_vel = float(s.max_velocity_device())
                 if self.sim.adaptive:
@@ -205,16 +218,37 @@ class LiveSolverThread(threading.Thread):
             self.sim.solver.set_density(f.density)
             self.sim.solver.set_viscosity(f.viscosity)
 
+    def set_build_param(self, **kw):
+        """Queue a geometry / mesh-type / cell-size change; applied by the
+        next Reset (the reference's panel edits take effect on Init/Reset
+        too, app.rs:301-393)."""
+        with self.lock:
+            self.pending_build.update(kw)
+
     def reset(self):
-        """Reference Init/Reset (app.rs:301-393): fresh state on the same
-        mesh (mesh/geometry re-init stays a constructor concern)."""
+        """Reference Init/Reset (app.rs:301-393): when geometry, mesh type,
+        or cell size changed in the panel, rebuild the mesh + solver from
+        the new selection (build_mesh, app.rs:395-482); otherwise fresh
+        fields on the same mesh.  The first step after a rebuild retraces —
+        surfaced as busy ("stepping/compiling"), like scheme switches."""
         from ..runtime.state import initial_state
         sim = self.sim
         with self.lock:
-            u0 = np.zeros((sim.mesh.num_cells, 2))
-            u0[sim.mesh.cell_cx < sim.cell_size * 2, 0] = sim.inlet_velocity
-            sim.solver.state = initial_state(sim.solver.mesh, u0=u0)
-            sim.solver.set_dt(sim.dt0)
+            pend, self.pending_build = self.pending_build, {}
+            if pend:
+                self.busy = True
+                try:
+                    sim.rebuild(**pend)
+                finally:
+                    self.busy = False
+                if self.on_rebuild is not None:
+                    self.on_rebuild()
+            else:
+                u0 = np.zeros((sim.mesh.num_cells, 2))
+                u0[sim.mesh.cell_cx < sim.cell_size * 2, 0] = \
+                    sim.inlet_velocity
+                sim.solver.state = initial_state(sim.solver.mesh, u0=u0)
+                sim.solver.set_dt(sim.dt0)
             self.step_i = 0
             self.stats = dict(self.stats, step=0, time=0.0,
                               should_stop=False)
@@ -241,7 +275,7 @@ class LiveSolverThread(threading.Thread):
                     dict(self.stats, paused=not self.running.is_set()))
 
 
-def make_handler(worker: LiveSolverThread, renderer, inlet: float):
+def make_handler(worker: LiveSolverThread, inlet: float):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):            # quiet
             pass
@@ -265,6 +299,7 @@ def make_handler(worker: LiveSolverThread, renderer, inlet: float):
                            json.dumps(worker.status()).encode())
             elif url.path == "/frame.png":
                 field = q.get("field", [self.server.field])[0]
+                renderer = self.server.renderer   # swapped on mesh rebuild
                 state, _ = worker.snapshot(dev_order=renderer.grid is not None)
                 fig = renderer.render(state, mode=field,
                                       show_mesh=self.server.wireframe)
@@ -298,6 +333,17 @@ def make_handler(worker: LiveSolverThread, renderer, inlet: float):
                     worker.set_precond(int(q["precond"][0]))
                 if "fluid" in q:
                     worker.set_fluid(q["fluid"][0])
+                # Mesh-construction panel state: queued, applied on Reset
+                # (reference Init/Reset rebuild, app.rs:301-393).
+                if "geometry" in q:
+                    worker.set_build_param(geometry=q["geometry"][0])
+                if "mesh_type" in q:
+                    worker.set_build_param(mesh_type=q["mesh_type"][0])
+                if "cell" in q:
+                    worker.set_build_param(cell_size=float(q["cell"][0]))
+                if "max_cell" in q:
+                    worker.set_build_param(
+                        max_cell_size=float(q["max_cell"][0]))
                 cmd = (url.query or "").split("=")[0]
                 if cmd == "pause" or "pause" in q:
                     worker.pause()
@@ -319,12 +365,16 @@ class LiveServer:
                  max_steps: int = 0):
         from .renderer import FieldRenderer
         self.worker = LiveSolverThread(sim, max_steps=max_steps)
-        handler = make_handler(
-            self.worker, FieldRenderer(sim.mesh, device_mesh=sim.solver.mesh),
-            sim.inlet_velocity)
+        handler = make_handler(self.worker, sim.inlet_velocity)
         self.httpd = ThreadingHTTPServer((host, port), handler)
         self.httpd.field = "mag"
         self.httpd.wireframe = False
+        self.httpd.renderer = FieldRenderer(sim.mesh,
+                                            device_mesh=sim.solver.mesh)
+        # Reset-with-rebuild swaps in a renderer for the new mesh.
+        self.worker.on_rebuild = lambda: setattr(
+            self.httpd, "renderer",
+            FieldRenderer(sim.mesh, device_mesh=sim.solver.mesh))
         self.host, self.port = self.httpd.server_address
 
     @property
