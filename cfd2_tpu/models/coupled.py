@@ -16,6 +16,7 @@ TPU-native re-design of the reference outer loop
 
 from __future__ import annotations
 
+import os
 from dataclasses import replace
 from functools import partial
 
@@ -627,6 +628,13 @@ def multi_step_adaptive(mesh: DeviceMesh, state: SolverState,
     return state, params, metrics
 
 
+def _arg_fingerprint(tree) -> tuple:
+    """Shape/dtype/structure fingerprint of a pytree — detects mesh swaps,
+    inlet-profile changes, and amg rebuilds without setter hooks."""
+    leaves, treedef = jax.tree.flatten(tree)
+    return (treedef, tuple((l.shape, str(l.dtype)) for l in leaves))
+
+
 @jax.jit
 def _max_vel_device(u: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.linalg.norm(u, axis=1))
@@ -650,6 +658,7 @@ class CoupledSolver:
         self.params = params or SolverParams.default()
         self.state = initial_state(self.mesh)
         self._amg = None
+        self._aot = {}
 
     # --- setters (reference solver.rs:36-95) ---
     def set_dt(self, dt):
@@ -755,6 +764,20 @@ class CoupledSolver:
         if mode == "host":
             self.state = step_host(self.mesh, self.state, self.params,
                                    self.config, self._get_amg())
+        elif os.environ.get("CFD2_AOT_CACHE"):
+            # Executable-level persistence: Mosaic kernel compiles survive
+            # across processes (runtime/aot_cache.py).  One lowering per
+            # (config, arg-structure); steps then call the Compiled directly.
+            amg = self._get_amg()
+            fp = (self.config, _arg_fingerprint(
+                (self.mesh, self.state, self.params, amg)))
+            c = self._aot.get(fp)
+            if c is None:
+                from ..runtime.aot_cache import cached_compile
+                c = cached_compile(step, self.mesh, self.state, self.params,
+                                   self.config, amg)
+                self._aot[fp] = c
+            self.state = c(self.mesh, self.state, self.params, amg)
         else:
             self.state = step(self.mesh, self.state, self.params, self.config,
                               self._get_amg())

@@ -45,6 +45,26 @@ def _norm(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.sum(v * v))
 
 
+def make_norm(f64_norms: bool, dtype):
+    """Norm used for residual/convergence accumulation inside fgmres_solve.
+
+    With ``f64_norms`` the sum of squares accumulates in float64 — needed for
+    stiff cases (e.g. water rho=1000 backwards-step at fine h, matching the
+    reference's stiffest regression `reproduce_divergence.rs`) where squared
+    f32 magnitudes saturate.  Requires ``jax_enable_x64``; without it jnp
+    silently keeps f32 and the flag is a harmless no-op (pinned by
+    tests/test_f64_norms_x64.py, which asserts the accumulation dtype in the
+    jaxpr under both settings)."""
+    if not f64_norms:
+        return _norm
+
+    def nrm(v):
+        acc = jnp.sum(v.astype(jnp.float64) ** 2)
+        return jnp.sqrt(acc).astype(dtype)
+
+    return nrm
+
+
 def fgmres_solve(
     matvec: Callable[[jnp.ndarray], jnp.ndarray],
     precond: Callable[[jnp.ndarray], jnp.ndarray],
@@ -131,16 +151,7 @@ def fgmres_solve(
     if basis_dtype is None:
         basis_dtype = dtype
 
-    if f64_norms:
-        # f64 residual/norm accumulation for stiff cases (e.g. water
-        # backwards-step at fine h: rho=1000 squares into the norms and
-        # saturates f32 accumulation).  Requires jax_enable_x64 — without it
-        # jnp silently keeps f32, making the flag a harmless no-op.
-        def nrm(v):
-            acc = jnp.sum(v.astype(jnp.float64) ** 2)
-            return jnp.sqrt(acc).astype(dtype)
-    else:
-        nrm = _norm
+    nrm = make_norm(f64_norms, dtype)
 
     rhs_norm = nrm(bf)
     target = jnp.maximum(tol * rhs_norm, abstol)
