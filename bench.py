@@ -125,7 +125,9 @@ def run_bench(min_cell=None):
                     extrapolate_guess=os.environ.get(
                         "BENCH_EXTRAP", "0") == "1",
                     adaptive_linear_tol=os.environ.get(
-                        "BENCH_ADAPTIVE", "0") == "1")
+                        "BENCH_ADAPTIVE", "0") == "1",
+                    presolve_pressure_iters=int(os.environ.get(
+                        "BENCH_PRESOLVE", "0")))
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)

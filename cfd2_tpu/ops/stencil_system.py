@@ -352,6 +352,71 @@ def schur_precond_planar(ss: StencilSystem, r: jnp.ndarray, omega: float,
     return jnp.stack([z_u, z_v, z_p])
 
 
+def pressure_apply(ss: StencilSystem, x2: jnp.ndarray) -> jnp.ndarray:
+    """Scalar pressure (Schur) operator on an (ny, nx) grid: P x."""
+    return ss.P_diag2 * x2 + _dot4(ss.P_off2, _shifts2(x2))
+
+
+def pcg_pressure(ss: StencilSystem, rhs2: jnp.ndarray, pressure_solve,
+                 iters: int) -> jnp.ndarray:
+    """``iters`` preconditioned-CG iterations on the scalar pressure system,
+    preconditioned by ``pressure_solve`` (a V-cycle from make_pressure_solve2
+    or the Chebyshev relax).  Static unrolled count — used for the
+    first-outer pressure presolve, where the elliptic component of the
+    initial residual is orders of magnitude above the Krylov target and each
+    *coupled* FGMRES iteration retires it no faster than a pressure-only CG
+    iteration at ~3x the bytes."""
+    x = jnp.zeros_like(rhs2)
+    r = rhs2
+    z = pressure_solve(r)
+    p = z
+    rz = jnp.sum(r * z)
+    for _ in range(iters):
+        Ap = pressure_apply(ss, p)
+        denom = jnp.sum(p * Ap)
+        alpha = jnp.where(jnp.abs(denom) > 1e-30, rz / denom, 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = pressure_solve(r)
+        rz_new = jnp.sum(r * z)
+        beta = jnp.where(jnp.abs(rz) > 1e-30, rz_new / rz, 0.0)
+        rz = rz_new
+        p = z + beta * p
+    return x
+
+
+def schur_guess(ss: StencilSystem, r: jnp.ndarray, omega: float,
+                n_sweeps: int, pressure_solve=None, cg_iters: int = 8,
+                mom_sweeps: int = 1, mom_adi: int = 0) -> jnp.ndarray:
+    """One SIMPLE/Schur correction with a CG-strength pressure block: the
+    first-outer initial-guess builder (VERDICT r3 #2).
+
+    Identical structure to :func:`schur_precond_planar`, but the pressure
+    solve runs ``cg_iters`` V-cycle-preconditioned CG iterations instead of a
+    fixed 1-2 cycles.  Used once per step (gated on the initial residual
+    being far from the Krylov target), NOT per FGMRES iteration: as a
+    preconditioner CG's nonlinearity would break flexible-GMRES efficiency
+    bookkeeping, but as an x0 builder it only moves the start point — the
+    rtol/atol convergence contract is untouched."""
+    ru, rv, rp = r[0], r[1], r[2]
+    if mom_adi > 0:
+        mom = lambda a, b: _momentum_solve_adi(ss, a, b, passes=mom_adi)
+    else:
+        mom = lambda a, b: _momentum_solve(ss, a, b, mom_sweeps)
+    z_u, z_v = mom(ru, rv)
+    rhs_p = rp - ss.diag_pu2 * z_u - ss.diag_pv2 * z_v \
+        - _dot4(ss.off_pu, _shifts2(z_u)) - _dot4(ss.off_pv, _shifts2(z_v))
+    if pressure_solve is None:
+        pressure_solve = lambda rr: chebyshev_pressure_solve2(
+            ss, rr, omega, n_sweeps)
+    z_p = pcg_pressure(ss, rhs_p, pressure_solve, cg_iters)
+    sp = _shifts2(z_p)
+    g_u = ss.diag_up2 * z_p + _dot4(ss.off_up, sp)
+    g_v = ss.diag_vp2 * z_p + _dot4(ss.off_vp, sp)
+    gz_u, gz_v = mom(g_u, g_v)
+    return jnp.stack([z_u - gz_u, z_v - gz_v, z_p])
+
+
 def to_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     """(N, 3) interleaved -> (3, ny, nx) planes (once per solve)."""
     ny, nx = ss.grid

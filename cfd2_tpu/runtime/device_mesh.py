@@ -578,6 +578,24 @@ def _generic_rank(mesh: Mesh, owner, neigh, internal, N_host):
             rank[order] = np.arange(N_host)
             candidates.append((f"colsweep-x{mult:g}", rank))
 
+        # Level-aware sweep for locally-refined quadtree meshes (VERDICT r3
+        # #7): segregate refinement levels, column-sweep each level at ITS
+        # OWN spacing (sqrt of the per-cell volume).  Same-level neighbors
+        # then sit in a narrow per-level band and cross-level neighbors in
+        # one other compact region — exactly the shape the multi-window
+        # banded maps (build_banded_map2) capture, instead of one global
+        # band as wide as the worst cross-section mix.
+        lev = mesh.cell_level
+        if lev is not None and int(lev.max()) != int(lev.min()):
+            own = np.sqrt(np.maximum(np.asarray(mesh.cell_vol), 1e-300))
+            for mult in (1.0, 2.0):
+                bx = np.floor((along - along.min())
+                              / np.maximum(mult * own, 1e-300)).astype(np.int64)
+                order = np.lexsort((across, bx, lev))
+                rank = np.empty(N_host, dtype=np.int64)
+                rank[order] = np.arange(N_host)
+                candidates.append((f"lev-colsweep-x{mult:g}", rank))
+
     if not candidates:
         return np.arange(N_host, dtype=np.int64)
     if len(candidates) == 1 or len(owner_i) == 0:

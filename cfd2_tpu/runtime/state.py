@@ -110,6 +110,19 @@ class SolverConfig:
     # without it the cast is a silent no-op.  Off by default (f32 matches
     # the reference's all-f32 device numerics, DESIGN.md §10).
     fgmres_f64_norms: bool = False
+    # First-outer pressure presolve (structured path; VERDICT r3 #2): when
+    # the initial residual of an outer's linear solve exceeds
+    # presolve_threshold x the Krylov target, build the initial guess with
+    # one SIMPLE/Schur correction whose pressure block runs this many
+    # V-cycle-preconditioned CG iterations (ops/stencil_system.schur_guess).
+    # From-rest first solves burn 88-100 coupled FGMRES iterations retiring
+    # an error that is overwhelmingly the elliptic pressure mode — CG on the
+    # scalar pressure system retires the same mode at ~1/3 the bytes per
+    # iteration.  The Krylov rtol/atol contract is unchanged (only x0
+    # moves); warm states never trip the threshold and pay one norm
+    # computation.  0 disables.
+    presolve_pressure_iters: int = 0
+    presolve_threshold: float = 100.0
     # In-cycle stall exit (ops/fgmres.py incycle_window): stop an Arnoldi
     # cycle when the residual estimate has improved < incycle_tol over the
     # last N iterations (the f32 attainable-accuracy floor on warm states

@@ -47,6 +47,10 @@ def main():
     s.set_viscosity(meta["viscosity"])
     s.set_density(meta["density"])
     s.set_precond_type(1)
+    # Identical static config to tools/make_developed_unstructured.py so the
+    # AOT executable cache (CFD2_AOT_CACHE=1) reuses the cascade's compile.
+    from dataclasses import replace
+    s.config = replace(s.config, fgmres_max_restarts=5, stop_count=10**9)
     s.set_dt(meta["dt"])
     s.set_u(d["u"].astype(np.float32))
     s.set_p(d["p"].astype(np.float32))
@@ -72,6 +76,9 @@ def main():
     kc = "" if m.bd_k is None else f",k{m.bd_k}"
     layout = (f"banded-grouped(wgs={m.bd_wgs[0]}{kc})" if m.bd_wgs is not None
               else f"banded(W={m.bd_W}{kc})" if m.bd_W is not None
+              else (f"banded-multi(W={m.bd2_W},"
+                    f"NW={m.bd2_bases.shape[1]}{kc})")
+              if m.bd2_W is not None
               else "other")
     row = {
         "mesh": size, "mesh_type": mesh_type, "cells": n,

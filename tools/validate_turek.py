@@ -22,15 +22,22 @@ forces.body_force is pure jnp) — the Cl(t) series costs no extra host
 round-trips.
 
 Usage:
-    python tools/validate_turek.py [h] [t_end] [t_measure] [scheme]
+    python tools/validate_turek.py [h] [t_end] [t_measure] [scheme] [h_from]
 
     h          uniform cell size (default 0.005 -> D/h = 20, ~36k cells)
     t_end      total simulated time (default 30.0 s; shedding period
                ~0.33 s, the startup transient takes ~15-20 s)
     t_measure  measurement window at the end (default 6.0 s, ~18 periods)
     scheme     0 upwind / 1 second-order upwind (default) / 2 QUICK
+    h_from     warm-start: interpolate the saved developed field of a
+               coarser run (its .bench_cache/turek_{h_from}.npz) onto this
+               mesh, skipping most of the startup transient — the same
+               cascade trick as the north-star bench (tools/make_developed).
+               With a warm start t_end only needs a few periods of heal +
+               the measurement window (e.g. t_end 6, t_measure 4).
 
-Appends one JSON row to TUREK.jsonl.
+Appends one JSON row to TUREK.jsonl; saves the final field to
+.bench_cache/turek_{h}.npz for the next rung.
 """
 
 import json
@@ -61,6 +68,7 @@ def main():
     t_end = float(sys.argv[2]) if len(sys.argv) > 2 else 30.0
     t_meas = float(sys.argv[3]) if len(sys.argv) > 3 else 6.0
     scheme = int(sys.argv[4]) if len(sys.argv) > 4 else 1
+    h_from = float(sys.argv[5]) if len(sys.argv) > 5 else None
 
     import jax
     import jax.numpy as jnp
@@ -96,6 +104,33 @@ def main():
     # own scan below bypasses CoupledSolver.step's dt_old rotation).
     from dataclasses import replace as _rp
     s.params = _rp(s.params, dt_old=s.params.dt)
+
+    cache = os.path.join(ROOT, ".bench_cache")
+    if h_from is not None:
+        # Warm start from the coarser rung's developed field (linear
+        # scattered-data interpolation over cell centers; the cut-cell mesh
+        # is irregular near the cylinder).
+        from scipy.interpolate import griddata
+        src = np.load(os.path.join(cache, f"turek_{h_from}.npz"))
+        pts = np.stack([src["cx"], src["cy"]], axis=1)
+        tgt = np.stack([np.asarray(mesh.cell_cx),
+                        np.asarray(mesh.cell_cy)], axis=1)
+        def interp(vals):
+            lin = griddata(pts, vals.astype(np.float32), tgt,
+                           method="linear")
+            near = griddata(pts, vals.astype(np.float32), tgt,
+                            method="nearest")
+            return np.where(np.isfinite(lin), lin, near)
+
+        u0 = np.stack([interp(src["u"][:, 0]), interp(src["u"][:, 1])],
+                      axis=1)
+        p0 = interp(src["p"])
+        s.set_u(u0)
+        s.set_p(p0)
+        s.initialize_history()
+        s.set_ramp_time(1e-9)   # inlet already at full strength
+        print(f"# warm start from turek_{h_from}.npz "
+              f"(t={float(src['t']):.1f}s)", flush=True)
 
     mask = jnp.asarray(obstacle_face_mask(s.mesh))
     q = 0.5 * 1.0 * U_BAR ** 2 * D   # dynamic pressure * D
@@ -151,9 +186,22 @@ def main():
                        <= INTERVALS["st"][1]),
         },
     }
+    if h_from is not None:
+        row["warm_start_from_h"] = h_from
     print(json.dumps(row), flush=True)
     with open(os.path.join(ROOT, "TUREK.jsonl"), "a") as f:
         f.write(json.dumps(row) + "\n")
+
+    # Save the developed field for the next (finer) rung of the ladder.
+    os.makedirs(cache, exist_ok=True)
+    u_fin = np.asarray(s.mesh.to_host_order(s.state.u))
+    p_fin = np.asarray(s.mesh.to_host_order(s.state.p))
+    np.savez_compressed(
+        os.path.join(cache, f"turek_{h}.npz"),
+        u=u_fin.astype(np.float16), p=p_fin.astype(np.float16),
+        cx=np.asarray(mesh.cell_cx), cy=np.asarray(mesh.cell_cy),
+        t=np.float32(s.state.time))
+    print(f"# saved turek_{h}.npz", flush=True)
 
 
 if __name__ == "__main__":
