@@ -38,6 +38,12 @@ import time
 import numpy as np
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
+# Executable-level persistence (runtime/aot_cache.py): a second bench run
+# skips Mosaic/XLA compiles entirely.  compile_first_step_s then reports the
+# lower+load time; the JSON carries aot_cache_entries so the number is
+# interpretable.  Set CFD2_AOT_CACHE= (empty) to disable.
+os.environ.setdefault("CFD2_AOT_CACHE", "1")
+os.environ.setdefault("CFD2_AOT_CACHE_DIR", "/root/repo/.aot_cache")
 
 ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
 # Developed-state checkpoint; override (e.g. bench_developed_2m.npz from
@@ -215,6 +221,10 @@ def run_bench(min_cell=None):
         "cells": n,
         "state": state_name,
         "compile_first_step_s": round(t_compile, 1),
+        "aot_cache_entries": len([f for f in os.listdir(
+            os.environ.get("CFD2_AOT_CACHE_DIR", ".aot_cache"))
+            if f.endswith(".pjrt")]) if os.path.isdir(
+            os.environ.get("CFD2_AOT_CACHE_DIR", ".aot_cache")) else 0,
         "from_rest": from_rest,
     }
     if developed is not None:

@@ -93,7 +93,7 @@ def _use_stencil_path(mesh, config, amg) -> bool:
 
 
 def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
-                        x_guess=None):
+                        x_guess=None, presolve_ok=None):
     """Assemble the coupled system (stencil form on structured meshes,
     block-ELL otherwise) and run one preconditioned FGMRES solve.
     ``x_guess``: optional (N, 3) Krylov initial guess (defaults to the
@@ -136,8 +136,14 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
 
         if config.presolve_pressure_iters > 0:
             # First-outer pressure presolve (SolverConfig docs; VERDICT r3
-            # #2): only fires when the initial residual is far above the
-            # Krylov target — warm outers pay one extra norm.
+            # #2): fires only on the FIRST outer (later outers' residuals
+            # are small and the Schur correction would be pure overhead —
+            # measured 1.41M -> 0.77M c-u/s when allowed to fire every
+            # transient outer) and only when the initial residual is far
+            # above the Krylov target.  The correction is self-guarded: it
+            # is taken only if one extra SpMV confirms it reduced the
+            # residual (CG on the near-singular pressure operator can
+            # otherwise inject a large spurious component).
             b2 = st.to_planar(ss, ss.rhs)
             r0 = b2 - st.spmv_planar(ss, x0p)
             r0n = jnp.sqrt(jnp.sum(r0 * r0))
@@ -147,14 +153,19 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             target = jnp.maximum(gate_tol * bn,
                                  jnp.asarray(config.fgmres_abstol, jnp.float32))
             need = r0n > config.presolve_threshold * target
+            if presolve_ok is not None:
+                need = need & presolve_ok
 
             def _build(xp):
-                return xp + st.schur_guess(
+                corr = st.schur_guess(
                     ss, r0, config.precond_omega, n_sweeps,
                     pressure_solve=ps,
                     cg_iters=config.presolve_pressure_iters,
                     mom_sweeps=config.mom_sweeps(mesh.num_cells),
                     mom_adi=config.precond_mom_adi)
+                rn = r0 - st.spmv_planar(ss, corr)
+                ok = jnp.sqrt(jnp.sum(rn * rn)) < r0n
+                return jnp.where(ok, xp + corr, xp)
 
             x0p = lax.cond(need, _build, lambda xp: xp, x0p)
 
@@ -422,7 +433,8 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             u_g = state.u + beta * (state.u - state.u_old_old)
             x_guess = jnp.concatenate([u_g, state.p[:, None]], axis=1)
         result = _assemble_and_solve(mesh, state, params, config, amg,
-                                     n_sweeps, lin_tol, x_guess=x_guess)
+                                     n_sweeps, lin_tol, x_guess=x_guess,
+                                     presolve_ok=(it == 0))
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         alpha_u = params.alpha_u
