@@ -29,6 +29,7 @@ def main():
     mesh_type = sys.argv[1] if len(sys.argv) > 1 else "delaunay"
     size = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0019
     steps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
+    max_cell = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
     from make_developed_unstructured import developed_path
     from mesh_cache import get_mesh
@@ -36,10 +37,10 @@ def main():
     import jax
     from cfd2_tpu.models.coupled import CoupledSolver
 
-    ckpt = developed_path(mesh_type, size)
+    ckpt = developed_path(mesh_type, size, max_cell)
     d = np.load(ckpt)
     meta = json.loads(str(d["meta"]))
-    mesh = get_mesh(mesh_type, size)
+    mesh = get_mesh(mesh_type, size, max_cell=max_cell)
     n = mesh.num_cells
     assert n == meta["cells"], (n, meta["cells"])
 
@@ -81,7 +82,8 @@ def main():
               if m.bd2_W is not None
               else "other")
     row = {
-        "mesh": size, "mesh_type": mesh_type, "cells": n,
+        "mesh": size if not max_cell else f"{size}/{max_cell}",
+        "mesh_type": mesh_type, "cells": n,
         "layout": layout, "precond": "amg", "state": "developed",
         "step_seconds": round(dt_step, 4),
         "cell_updates_per_sec": round(n / dt_step, 1),

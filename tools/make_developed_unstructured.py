@@ -37,8 +37,9 @@ SRC = os.path.join(ROOT, "bench_developed_1m.npz")
 PROBE_XY = (1.8, 0.6)
 
 
-def developed_path(mesh_type: str, size: float) -> str:
-    return os.path.join(CACHE, f"developed_{mesh_type}_{size}.npz")
+def developed_path(mesh_type: str, size: float, max_cell: float = 0.0) -> str:
+    tag = f"{size}" if not max_cell else f"{size}-{max_cell}"
+    return os.path.join(CACHE, f"developed_{mesh_type}_{tag}.npz")
 
 
 def bilerp(field, x, y, h):
@@ -64,6 +65,7 @@ def main():
     mesh_type = sys.argv[1] if len(sys.argv) > 1 else "delaunay"
     size = float(sys.argv[2]) if len(sys.argv) > 2 else 0.0019
     heal_steps = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+    max_cell = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
 
     from mesh_cache import get_mesh
 
@@ -77,7 +79,7 @@ def main():
     print(f"# source grid {u_g.shape[:2]} h={h_src:.5f} "
           f"t={src_meta['time']:.2f} nu={src_meta['viscosity']}", flush=True)
 
-    mesh = get_mesh(mesh_type, size)
+    mesh = get_mesh(mesh_type, size, max_cell=max_cell)
     n = mesh.num_cells
     s = CoupledSolver(mesh)
     s.set_viscosity(src_meta["viscosity"])
@@ -111,11 +113,12 @@ def main():
     p = s.get_p()
     amp = float(np.max(series) - np.min(series)) if series else 0.0
     meta = {"viscosity": src_meta["viscosity"], "density": 1.0,
-            "mesh_type": mesh_type, "size": size, "cells": n,
+            "mesh_type": mesh_type, "size": size, "max_cell": max_cell,
+            "cells": n,
             "time": src_meta["time"] + heal_steps * dt, "dt": dt,
             "heal_steps": heal_steps, "probe_v_amplitude": amp,
             "probe_xy": list(PROBE_XY)}
-    out = developed_path(mesh_type, size)
+    out = developed_path(mesh_type, size, max_cell)
     np.savez_compressed(out, u=u.astype(np.float16),
                         p=p.astype(np.float16), meta=json.dumps(meta))
     print(f"# wrote {out}: {n} cells, probe_v amplitude {amp:.3f}",

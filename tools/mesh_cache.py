@@ -21,8 +21,10 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CACHE = os.path.join(ROOT, ".bench_cache")
 
 
-def mesh_path(mesh_type: str, size: float, geo: str = "channel") -> str:
-    return os.path.join(CACHE, f"mesh_{geo}_{mesh_type}_{size}.npz")
+def mesh_path(mesh_type: str, size: float, geo: str = "channel",
+              max_cell: float = 0.0) -> str:
+    tag = f"{size}" if not max_cell else f"{size}-{max_cell}"
+    return os.path.join(CACHE, f"mesh_{geo}_{mesh_type}_{tag}.npz")
 
 
 def save_mesh(mesh, path: str):
@@ -42,13 +44,15 @@ def load_mesh(path: str):
     return Mesh(**{k: d[k] for k in d.files})
 
 
-def get_mesh(mesh_type: str, size: float, geo: str = "channel"):
+def get_mesh(mesh_type: str, size: float, geo: str = "channel",
+             max_cell: float = 0.0):
     """Load from cache or generate + cache.  ``geo``: channel (3x1 channel
-    with the r=0.2 obstacle at (1.0, 0.5) — the bench configuration)."""
+    with the r=0.2 obstacle at (1.0, 0.5) — the bench configuration).
+    ``max_cell`` > size produces a locally-refined cut-cell mesh."""
     from cfd2_tpu.mesh import (ChannelWithObstacle, generate_cut_cell_mesh,
                                generate_delaunay_mesh, generate_voronoi_mesh)
     os.makedirs(CACHE, exist_ok=True)
-    path = mesh_path(mesh_type, size, geo)
+    path = mesh_path(mesh_type, size, geo, max_cell)
     if os.path.exists(path):
         t0 = time.time()
         m = load_mesh(path)
@@ -62,7 +66,7 @@ def get_mesh(mesh_type: str, size: float, geo: str = "channel"):
                                   obstacle_center=(1.0, 0.5),
                                   obstacle_radius=0.2)
     t0 = time.time()
-    mesh = gen(geo_obj, size, size, 1.2, (3.0, 1.0))
+    mesh = gen(geo_obj, size, max(max_cell, size), 1.2, (3.0, 1.0))
     print(f"# generated {mesh_type} {size}: {mesh.num_cells} cells "
           f"({time.time()-t0:.0f}s)", flush=True)
     save_mesh(mesh, path)
