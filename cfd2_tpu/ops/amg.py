@@ -833,12 +833,19 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
     ops = [_GridOps(g) for g in grids]
     lv2 = structured_level_values_2d(hier, level_values)
 
-    from .pallas_stencil import pallas_enabled, smooth_rbgs_pallas
+    from .pallas_stencil import (fused_rbgs2, pallas_enabled, pallas_level,
+                                 smooth_rbgs_pallas)
+    fused = pallas_level() >= 2
+    interp = jax.default_backend() != "tpu"
 
     def smooth(i, xg, bg):
         diag2, off2 = lv2[i]
+        if fused:
+            # One kernel per leg per level (CFD2_PALLAS=2).
+            return fused_rbgs2(xg, diag2, off2, bg, grids[i], sweeps=sweeps,
+                               interpret=interp)
         if pallas_enabled():
-            # Pallas kernel takes flat layouts; gated off by default.
+            # Per-half-sweep kernels, flat layouts (CFD2_PALLAS=1).
             ny, nx = grids[i]
             off_flat = jnp.moveaxis(off2.reshape(4, ny * nx), 0, 1)
             x = smooth_rbgs_pallas((ny, nx), diag2.reshape(-1), off_flat,
@@ -851,8 +858,13 @@ def structured_v_cycle(hier: StructuredAmgHierarchy, level_values,
     bs = [b0.reshape(grids[0])]
     for i in range(L):
         diag2, off2 = lv2[i]
-        x = smooth(i, xs[i], bs[i])
-        r = bs[i] - ops[i].spmv2(diag2, off2, x)
+        if fused:
+            x, r = fused_rbgs2(xs[i], diag2, off2, bs[i], grids[i],
+                               sweeps=sweeps, residual=True,
+                               interpret=interp)
+        else:
+            x = smooth(i, xs[i], bs[i])
+            r = bs[i] - ops[i].spmv2(diag2, off2, x)
         xs[i] = x
         bs.append(ops[i].restrict2(grids[i + 1], r))
         xs.append(jnp.zeros(grids[i + 1], x0.dtype))
