@@ -67,10 +67,13 @@ def main():
     print(f"# compile+heal: {time.time()-t0:.1f}s", flush=True)
 
     t0 = time.time()
+    outers, lins = [], []
     for _ in range(steps):
         s.step(mode="fused")
-        int(s.state.outer_iters)   # value read: a real device sync
+        outers.append(int(s.state.outer_iters))   # value read: device sync
+        lins.append(int(s.state.linear_iters))
     dt_step = (time.time() - t0) / steps
+    print(f"# outer_iters={outers} last_linear_iters={lins}", flush=True)
     assert np.isfinite(s.get_u()).all()
 
     m = s.mesh
@@ -87,6 +90,7 @@ def main():
         "layout": layout, "precond": "amg", "state": "developed",
         "step_seconds": round(dt_step, 4),
         "cell_updates_per_sec": round(n / dt_step, 1),
+        "outer_iters": outers, "last_linear_iters": lins,
     }
     print(json.dumps(row), flush=True)
     with open(os.path.join(ROOT, "BENCH_SWEEP.jsonl"), "a") as f:
