@@ -93,11 +93,12 @@ def _use_stencil_path(mesh, config, amg) -> bool:
 
 
 def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
-                        x_guess=None, presolve_ok=None):
+                        x_guess=None, presolve_ok=None, frozen_amg=None):
     """Assemble the coupled system (stencil form on structured meshes,
     block-ELL otherwise) and run one preconditioned FGMRES solve.
     ``x_guess``: optional (N, 3) Krylov initial guess (defaults to the
-    current fields)."""
+    current fields).  ``frozen_amg``: per-step frozen coarse AMG operators
+    (banded path; see SolverConfig.amg_freeze_coarse)."""
     if _use_stencil_path(mesh, config, amg):
         from ..ops import stencil_system as st
         from .assembly import assemble_stencil
@@ -108,7 +109,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
         # split/stack otherwise).
         matvec = lambda x: st.spmv_planar(ss, x)
         ps = (st.make_pressure_solve2(
-                  amg, ss, n_cycles=config.pressure_vcycles(mesh.num_cells))
+                  amg, ss, n_cycles=config.pressure_vcycles(mesh.num_cells),
+                  frozen=frozen_amg)
               if config.precond_type == PRECOND_AMG else None)
         if config.precond_bf16:
             # Apply M^{-1} in bf16 (coefficients cast once per assembly);
@@ -231,7 +233,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             from ..ops.amg import make_pressure_solve
             ps = make_pressure_solve(amg, mesh, es,
                                      coeff=params.density * state.d_p,
-                                     cycle_opts=config.cycle_opts())
+                                     cycle_opts=config.cycle_opts(),
+                                     frozen=frozen_amg)
         else:
             ps = None
         # Momentum depth 8: with the fused banded-dot sweeps (a sweep is
@@ -397,6 +400,28 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     # Initial prepare pass (coupled_solver.rs:74-107).
     state = prepare(mesh, state, params, config)
 
+    # Per-step frozen coarse AMG operators (banded path): Galerkin
+    # re-coarsening is a segment-sum RAP costing 7.5 ms/outer at 130k cells
+    # (tools/prof_refined_developed.py) — ~30% of a developed-state step.
+    # Coarsen ONCE from the step-entry assembly; every outer's V-cycle uses
+    # these level-1+ operators while level 0 (the smoother + residual, which
+    # set the cycle's fixed point) tracks the current assembly.  FGMRES is
+    # flexible, so preconditioner staleness never touches the solve contract.
+    frozen_amg = None
+    if (config.amg_freeze_coarse and amg is not None
+            and config.precond_type == PRECOND_AMG):
+        if _use_stencil_path(mesh, config, amg):
+            from ..ops import stencil_system as st
+            from .assembly import assemble_stencil
+            ss0 = assemble_stencil(mesh, state, params, config)
+            frozen_amg = st.coarse_level_values2(amg, ss0)
+        elif mesh.banded:
+            from ..ops.amg import AmgHierarchy, coarse_level_values
+            if isinstance(amg, AmgHierarchy):
+                from .assembly import assemble_ell
+                es0 = assemble_ell(mesh, state, params, config)
+                frozen_amg = coarse_level_values(amg, es0.P_diag, es0.P_off)
+
     max_iters = max(config.n_outer_correctors, 10)
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
     D = mesh.num_cells * 3
@@ -434,7 +459,8 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             x_guess = jnp.concatenate([u_g, state.p[:, None]], axis=1)
         result = _assemble_and_solve(mesh, state, params, config, amg,
                                      n_sweeps, lin_tol, x_guess=x_guess,
-                                     presolve_ok=(it == 0))
+                                     presolve_ok=(it == 0),
+                                     frozen_amg=frozen_amg)
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         alpha_u = params.alpha_u

@@ -1045,8 +1045,22 @@ def v_cycle(hier: AmgHierarchy, level_values, mesh,
     return xs[0]
 
 
+def coarse_level_values(hier: "AmgHierarchy", P_diag, P_off):
+    """Galerkin-coarsen once and return ``(coarse_vals, factors)`` suitable
+    for :func:`make_pressure_solve`'s ``frozen=`` argument: the level-1+
+    (diag, off) pairs plus the coarsest-level dense factorization.  Used by
+    the fused step to re-coarsen once per TIMESTEP instead of once per outer
+    corrector (SolverConfig.amg_freeze_coarse)."""
+    level_values = compute_level_values(hier, P_diag, P_off)
+    dc, oc = level_values[-1]
+    cols = (hier.levels[-1].ell_neighbor if hier.levels
+            else jnp.zeros((dc.shape[0], 1), jnp.int32))
+    factors = _dense_factor(dc, oc, cols)
+    return tuple(level_values[1:]), factors
+
+
 def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
-                        cycle_opts=None):
+                        cycle_opts=None, frozen=None):
     """pressure_solve(rhs_p) closure for the Schur preconditioner (the AMG
     path of coupled_solver_fgmres.rs:1942-1946).
     ``cycle_opts``: extra kwargs for the generic :func:`v_cycle` (smoother /
@@ -1057,6 +1071,9 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
     in the HLO as literals (huge programs; breaks remote compilation).
     ``coeff`` (multilevel only): the composite rho*d_p field used to build
     the fine-grid operator.
+    ``frozen`` (generic hierarchy only): ``(coarse_vals, factors)`` from
+    :func:`coarse_level_values` — skip the per-call Galerkin re-coarsening
+    and use these level-1+ operators instead (level 0 stays current).
     """
     if isinstance(hier, MultilevelAmg):
         grids = hier.ml_levels
@@ -1132,7 +1149,22 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
 
         return pressure_solve
 
-    level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+    if frozen is not None:
+        # Per-step frozen coarse operators (SolverConfig.amg_freeze_coarse):
+        # the caller Galerkin-coarsened ONCE at the start of the timestep;
+        # only level 0 (free — it's the current assembly) tracks the outer
+        # iteration.  Preconditioner-only staleness: FGMRES is flexible, so
+        # the rtol/atol contract is untouched.  Measured on the developed
+        # 130k refined-cutcell state: the per-outer segment-sum RAP was
+        # 7.5 ms of a 25 ms outer.
+        coarse_vals, factors = frozen
+        level_values = [(sys.P_diag, sys.P_off)] + list(coarse_vals)
+    else:
+        level_values = compute_level_values(hier, sys.P_diag, sys.P_off)
+        dc, oc = level_values[-1]
+        cols = (hier.levels[-1].ell_neighbor if hier.levels
+                else jnp.zeros((dc.shape[0], 1), jnp.int32))
+        factors = _dense_factor(dc, oc, cols)
     # Level 0 dots ride the banded kernel: use the pre-blocked plane when
     # the system carries one (EllSystem on banded meshes) so the V-cycle's
     # ~4 level-0 operator applications per cycle skip the (N, K) ->
@@ -1140,10 +1172,6 @@ def make_pressure_solve(hier, mesh, sys: BlockSystem, coeff=None,
     p_off_b = getattr(sys, "P_offB", None)
     if mesh.banded and p_off_b is not None:
         level_values = [(sys.P_diag, p_off_b)] + list(level_values[1:])
-    dc, oc = level_values[-1]
-    cols = (hier.levels[-1].ell_neighbor if hier.levels
-            else jnp.zeros((dc.shape[0], 1), jnp.int32))
-    factors = _dense_factor(dc, oc, cols)
     opts = dict(cycle_opts or {})
 
     def pressure_solve(rhs_p):

@@ -428,7 +428,25 @@ def from_planar(ss: StencilSystem, x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(3, -1).T
 
 
-def make_pressure_solve2(hier, ss: StencilSystem, n_cycles: int = 1):
+def coarse_level_values2(hier, ss: StencilSystem):
+    """Galerkin-coarsen once, returning ``(coarse_vals, factors)`` for
+    :func:`make_pressure_solve2`'s ``frozen=`` argument (level-1+ stencil
+    values + the coarsest dense factorization).  Lets the fused step
+    re-coarsen once per TIMESTEP instead of per outer corrector
+    (SolverConfig.amg_freeze_coarse); level 0 is rebuilt from the current
+    assembly at apply time (elementwise, free)."""
+    from .amg import (_GridOps, _dense_factor,
+                      compute_structured_level_values2)
+    lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+    dc, oc = lv2[-1]
+    factors = _dense_factor(
+        dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+        _GridOps(hier.levels[-1].grid).neighbor_cols())
+    return tuple(lv2[1:]), factors
+
+
+def make_pressure_solve2(hier, ss: StencilSystem, n_cycles: int = 1,
+                         frozen=None):
     """Structured-multigrid pressure solve taking/returning (ny, nx) grids.
 
     Galerkin re-coarsening runs in 2D stencil form
@@ -442,6 +460,7 @@ def make_pressure_solve2(hier, ss: StencilSystem, n_cycles: int = 1):
     ~18%/cycle more per-iteration bytes.
     """
     from .amg import (
+        _NULL_SHIFT,
         StructuredAmgHierarchy,
         _GridOps,
         _dense_factor,
@@ -450,11 +469,21 @@ def make_pressure_solve2(hier, ss: StencilSystem, n_cycles: int = 1):
     )
 
     assert isinstance(hier, StructuredAmgHierarchy)
-    lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
-    dc, oc = lv2[-1]
-    factors = _dense_factor(
-        dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
-        _GridOps(hier.levels[-1].grid).neighbor_cols())
+    if frozen is not None:
+        # Per-step frozen coarse operators (see coarse_level_values2):
+        # level 0 is re-derived from the CURRENT assembly (the same
+        # elementwise shift compute_structured_level_values2 applies to its
+        # vals[0]), so the smoother and fine residual track each outer;
+        # only the level-1+ Galerkin products are reused.
+        coarse_vals, factors = frozen
+        d0 = ss.P_diag2 + _NULL_SHIFT * jnp.abs(ss.P_diag2)
+        lv2 = [(d0, ss.P_off2[:4])] + list(coarse_vals)
+    else:
+        lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+        dc, oc = lv2[-1]
+        factors = _dense_factor(
+            dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),
+            _GridOps(hier.levels[-1].grid).neighbor_cols())
 
     def pressure_solve(rhs_p2):
         x = ss.diag_p_inv2 * rhs_p2

@@ -176,6 +176,17 @@ class SolverConfig:
     # (plain-aggregation transfers underestimate correction energy).
     precond_cheb: int = 0
     precond_overcorrect: float = 1.0
+    # Freeze the generic-AMG coarse operators per TIMESTEP (banded path,
+    # fused step): Galerkin re-coarsening (a segment-sum RAP over ~N*(K+1)
+    # entries) costs 7.5 ms/outer at 130k cells — ~30% of a developed-state
+    # step — while the level-1+ operators it rebuilds only steer the
+    # preconditioner's coarse correction.  With this flag the step coarsens
+    # once at entry and every outer reuses those coarse operators; level 0
+    # (smoother + residual, which set the V-cycle's fixed point) still
+    # tracks each outer's assembly, and flexible FGMRES absorbs the
+    # staleness without touching the rtol/atol contract.  The host-mode
+    # step keeps per-outer re-coarsening (verification exactness).
+    amg_freeze_coarse: bool = True
     # Aggregation passes per AMG level (generic hierarchy).  2 composes a
     # second greedy pass over the aggregate graph (~9x coarsening per
     # level): the unstructured V-cycle's cost at >=100k cells is

@@ -220,3 +220,49 @@ def test_chebyshev_recurrence_matches_reference_pingpong():
     ours = np.asarray(chebyshev_pressure_solve2(
         ss, jnp.asarray(rhs), omega, sweeps))
     np.testing.assert_allclose(ours, buf_cur, rtol=1e-5, atol=1e-6)
+
+
+def test_frozen_coarse_pressure_solve2_exact(setup):
+    """make_pressure_solve2(frozen=coarse_level_values2(...)) built from the
+    SAME assembly must be bitwise-identical to the per-call re-coarsening —
+    pins the structured half of SolverConfig.amg_freeze_coarse (the fused
+    step freezes the level-1+ Galerkin stencils at step entry; level 0 is
+    re-derived from the current assembly inside make_pressure_solve2)."""
+    dm, config, sys_, ss = setup
+    from cfd2_tpu.ops.amg import build_hierarchy_for_mesh
+    hier = build_hierarchy_for_mesh(dm)
+    rhs = _rand_x(dm, seed=5)[:, 2].reshape(dm.grid_shape)
+    z_live = st.make_pressure_solve2(hier, ss)(rhs)
+    frozen = st.coarse_level_values2(hier, ss)
+    z_frozen = st.make_pressure_solve2(hier, ss, frozen=frozen)(rhs)
+    np.testing.assert_array_equal(np.asarray(z_live), np.asarray(z_frozen))
+
+
+def test_frozen_coarse_structured_step_matches_refresh():
+    """A fused structured step with amg_freeze_coarse on/off lands on the
+    same converged fields (staleness is preconditioner-only)."""
+    from dataclasses import replace as _rep
+    from cfd2_tpu.models.coupled import CoupledSolver
+
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.04, 0.04, 1.2, (3.0, 1.0))
+    u0 = np.zeros((mesh.num_cells, 2))
+    u0[mesh.cell_cx < 0.08, 0] = 1.0
+
+    fields = []
+    for freeze in (True, False):
+        s = CoupledSolver(mesh)
+        assert s.mesh.structured
+        s.set_precond_type(1)
+        s.set_dt(0.005)
+        s.config = _rep(s.config, amg_freeze_coarse=freeze)
+        s.set_u(u0)
+        for _ in range(2):
+            s.step(mode="fused")
+        fields.append((s.get_u(), s.get_p()))
+        assert np.isfinite(fields[-1][0]).all()
+
+    (u_f, p_f), (u_r, p_r) = fields
+    assert np.abs(u_f - u_r).max() < 5e-4
+    assert np.abs(p_f - p_r).max() < 5e-3

@@ -131,3 +131,64 @@ def test_banded_slot_fluxes_exact_antisymmetry():
     sel = (np.asarray(dm.ck_mask) > 0) & (np.asarray(dm.ck_is_boundary) == 0)
     rel = np.abs(flux - slot_ff)[sel] / (np.abs(slot_ff[sel]) + 1e-6)
     assert rel.max() < 1e-4
+
+
+def test_frozen_coarse_amg_wiring_exact():
+    """make_pressure_solve(frozen=coarse_level_values(...)) computed from the
+    SAME assembly must be bitwise-identical to the per-call re-coarsening —
+    pins the SolverConfig.amg_freeze_coarse wiring (the fused step freezes
+    coarse operators at step entry; see models/coupled.py)."""
+    import jax.numpy as jnp
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_delaunay_mesh
+    from cfd2_tpu.models.assembly import assemble_ell, prepare
+    from cfd2_tpu.ops.amg import (build_hierarchy_for_mesh,
+                                  coarse_level_values, make_pressure_solve)
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_delaunay_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0), seed=3)
+    s = CoupledSolver(mesh)
+    s.set_precond_type(1)
+    s.set_dt(0.01)
+    rng = np.random.default_rng(1)
+    s.set_u(rng.standard_normal((mesh.num_cells, 2)) * 0.1)
+    state = prepare(s.mesh, s.state, s.params, s.config)
+    es = assemble_ell(s.mesh, state, s.params, s.config)
+    hier = build_hierarchy_for_mesh(s.mesh)
+
+    rhs = jnp.asarray(rng.standard_normal(s.mesh.num_cells), jnp.float32)
+    ps_live = make_pressure_solve(hier, s.mesh, es)
+    frozen = coarse_level_values(hier, es.P_diag, es.P_off)
+    ps_frozen = make_pressure_solve(hier, s.mesh, es, frozen=frozen)
+    np.testing.assert_array_equal(np.asarray(ps_live(rhs)),
+                                  np.asarray(ps_frozen(rhs)))
+
+
+def test_frozen_coarse_step_matches_refresh():
+    """A fused step with amg_freeze_coarse on/off must land on the same
+    converged fields (the flag only changes the preconditioner's coarse
+    operators mid-step; the outer/Krylov tolerances are unchanged)."""
+    from dataclasses import replace as _rep
+
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_delaunay_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0), seed=3)
+    u0 = np.zeros((mesh.num_cells, 2))
+    u0[mesh.cell_cx < 0.1, 0] = 1.0
+
+    fields = []
+    for freeze in (True, False):
+        s = CoupledSolver(mesh)
+        assert s.mesh.banded
+        s.set_precond_type(1)
+        s.set_dt(0.005)
+        s.config = _rep(s.config, amg_freeze_coarse=freeze)
+        s.set_u(u0)
+        for _ in range(2):
+            s.step(mode="fused")
+        fields.append((s.get_u(), s.get_p()))
+        assert np.isfinite(fields[-1][0]).all()
+
+    (u_f, p_f), (u_r, p_r) = fields
+    # Same fixed point to within the outer tolerances (paths differ only
+    # through preconditioner staleness, which FGMRES absorbs).
+    assert np.abs(u_f - u_r).max() < 5e-4
+    assert np.abs(p_f - p_r).max() < 5e-3
