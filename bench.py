@@ -60,25 +60,28 @@ def _time_steps(s, steps, mode):
 
     outer_iters = []
     linear_iters = []
+    linear_totals = []
     t0 = time.time()
     for _ in range(steps):
         s.step(mode=mode)
         jax.block_until_ready(s.state.u)
         outer_iters.append(int(s.state.outer_iters))
         linear_iters.append(int(s.state.linear_iters))
+        linear_totals.append(int(s.state.linear_iters_total))
     elapsed = time.time() - t0
     assert np.isfinite(s.get_u()).all(), "bench produced non-finite fields"
-    return elapsed, outer_iters, linear_iters
+    return elapsed, outer_iters, linear_iters, linear_totals
 
 
 def _measure(s, steps, mode, n, label):
-    elapsed, outers, lins = _time_steps(s, steps, mode)
+    elapsed, outers, lins, ltot = _time_steps(s, steps, mode)
     sps = steps / elapsed
     print(f"# {label}: {steps} steps in {elapsed:.2f}s -> {sps:.2f} steps/s, "
-          f"outer_iters={outers} last_linear_iters={lins}", file=sys.stderr)
+          f"outer_iters={outers} linear_iters_total={ltot}", file=sys.stderr)
     return {"cell_updates_per_sec": round(n * sps, 1),
             "steps_per_sec": round(sps, 3),
-            "outer_iters": outers, "last_linear_iters": lins}
+            "outer_iters": outers, "last_linear_iters": lins,
+            "linear_iters_total": ltot}
 
 
 def run_bench(min_cell=None):

@@ -470,6 +470,41 @@ def _safe_inv(x):
     return jnp.where(jnp.abs(x) > 1e-14, 1.0 / x, 0.0)
 
 
+def assemble_pressure(mesh: DeviceMesh, state: SolverState,
+                      params: SolverParams):
+    """Scalar pressure matrix ``(P_diag, P_off)`` alone.
+
+    These are the only coefficients the frozen-coarse AMG setup needs
+    (SolverConfig.amg_freeze_coarse): the step previously ran a FULL coupled
+    assembly at entry whose momentum/RHS/pre-blocked outputs were discarded
+    (advisor r4) — one whole extra assembly per step and a major
+    cold-compile contributor.  The expressions mirror
+    :func:`_assemble_parts`' pressure rows exactly (same order of
+    operations), so the frozen operators match the full assembly's values.
+    """
+    mask = mesh.ck_mask
+    is_b = mesh.ck_is_boundary
+    internal = mask * (1.0 - is_b)
+
+    dist = mesh.ck_dist_proj
+    lam = mesh.ck_lam
+    dp_this = state.d_p[:, None]
+    dp_other = mesh.gather(state.d_p)
+    dp_f = lam * dp_this + (1.0 - lam) * dp_other
+    lapl = dp_f * mesh.ck_area / dist
+    scalar_coeff = params.density * lapl
+    P_off = -scalar_coeff * internal
+    scalar_diag_c = scalar_coeff * internal
+
+    is_outlet = (is_b > 0) & (mesh.ck_boundary == 2)
+    lapl_out = dp_this * mesh.ck_area / dist
+    b_scalar_diag = jnp.where(is_outlet, params.density * lapl_out, 0.0)
+
+    P_diag = jnp.sum(scalar_diag_c + b_scalar_diag, axis=1)
+    P_diag = jnp.where(mesh.c_valid > 0, P_diag, 1.0)
+    return P_diag, P_off
+
+
 def assemble_coupled(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                      config: SolverConfig) -> BlockSystem:
     """Assemble the coupled block system + scalar pressure matrix."""

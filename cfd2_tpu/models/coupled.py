@@ -410,17 +410,25 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     frozen_amg = None
     if (config.amg_freeze_coarse and amg is not None
             and config.precond_type == PRECOND_AMG):
+        # Pressure-only entry assembly (assembly.assemble_pressure): the
+        # freeze needs just (P_diag, P_off), not the full coupled assembly
+        # the first outer will run anyway (advisor r4: the duplicated full
+        # assembly cost one whole extra assembly per step and was a major
+        # cold-compile contributor).
         if _use_stencil_path(mesh, config, amg):
             from ..ops import stencil_system as st
-            from .assembly import assemble_stencil
-            ss0 = assemble_stencil(mesh, state, params, config)
-            frozen_amg = st.coarse_level_values2(amg, ss0)
+            from .assembly import assemble_pressure
+            P_diag, P_off = assemble_pressure(mesh, state, params)
+            ny, nx = mesh.grid_shape
+            frozen_amg = st.coarse_level_values2_planes(
+                amg, P_diag.reshape(ny, nx),
+                jnp.moveaxis(P_off[:, :4], 1, 0).reshape(4, ny, nx))
         elif mesh.banded:
             from ..ops.amg import AmgHierarchy, coarse_level_values
             if isinstance(amg, AmgHierarchy):
-                from .assembly import assemble_ell
-                es0 = assemble_ell(mesh, state, params, config)
-                frozen_amg = coarse_level_values(amg, es0.P_diag, es0.P_off)
+                from .assembly import assemble_pressure
+                P_diag, P_off = assemble_pressure(mesh, state, params)
+                frozen_amg = coarse_level_values(amg, P_diag, P_off)
 
     max_iters = max(config.n_outer_correctors, 10)
     big = jnp.asarray(jnp.finfo(jnp.float32).max, jnp.float32)
@@ -429,11 +437,13 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     aa_hist0 = jnp.zeros((aa_depth + 1, D), jnp.float32) if aa_depth else None
 
     def cond(carry):
-        state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr = carry
+        (state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr,
+         lt) = carry
         return (it < max_iters) & ~done
 
     def body(carry):
-        state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr = carry
+        (state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr,
+         lt) = carry
 
         # Re-prepare on later iterations / higher-order schemes
         # (coupled_solver.rs:166-189).
@@ -496,14 +506,16 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         done = (converged & (it > 0)) | stagnated | plateau
 
         return (state, aa, diff_u, diff_p, it + 1, done, du_ok, dp_ref,
-                result.iterations, result.residual)
+                result.iterations, result.residual,
+                lt + result.iterations)
 
     init = (state, (aa_hist0, aa_hist0) if aa_depth else (), big, big,
             jnp.int32(0), jnp.asarray(False), jnp.int32(0), big,
-            jnp.int32(0), jnp.asarray(0.0, jnp.float32))
-    state, _, _, _, it, _, _, _, li, lr = lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.asarray(0.0, jnp.float32), jnp.int32(0))
+    state, _, _, _, it, _, _, _, li, lr, lt = lax.while_loop(cond, body, init)
     state = replace(state, time=state.time + params.dt,
-                    linear_iters=li, linear_residual=lr)
+                    linear_iters=li, linear_residual=lr,
+                    linear_iters_total=lt)
 
     return check_evolution(state, config, valid=mesh.c_valid)
 
@@ -519,7 +531,8 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 @partial(jax.jit, static_argnames=("config",))
 def begin_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                config: SolverConfig) -> SolverState:
-    state = replace(state, u_old_old=state.u_old, u_old=state.u)
+    state = replace(state, u_old_old=state.u_old, u_old=state.u,
+                    linear_iters_total=jnp.asarray(0, jnp.int32))
     return prepare(mesh, state, params, config)
 
 
@@ -564,7 +577,9 @@ def outer_iteration(mesh: DeviceMesh, state: SolverState,
     state = replace(state, u=u_new, p=p_new,
                     outer_residual_u=diff_u, outer_residual_p=diff_p,
                     linear_iters=result.iterations,
-                    linear_residual=result.residual)
+                    linear_residual=result.residual,
+                    linear_iters_total=(state.linear_iters_total
+                                        + result.iterations))
     return state, diff_u, diff_p, aa
 
 
@@ -647,6 +662,7 @@ def multi_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
             "time": state.time,
             "outer_iters": state.outer_iters,
             "linear_iters": state.linear_iters,
+            "linear_iters_total": state.linear_iters_total,
             "linear_residual": state.linear_residual,
             "outer_residual_u": state.outer_residual_u,
             "max_vel": jnp.max(jnp.linalg.norm(state.u, axis=1)),

@@ -126,7 +126,8 @@ def simple_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     from ..ops.krylov import bicgstab_solve, cg_solve
     from .assembly import assemble_coupled, prepare
 
-    state = replace(state, u_old_old=state.u_old, u_old=state.u)
+    state = replace(state, u_old_old=state.u_old, u_old=state.u,
+                    linear_iters_total=jnp.asarray(0, jnp.int32))
 
     for _ in range(n_correctors):
         state = prepare(mesh, state, params, config)
@@ -179,7 +180,10 @@ def simple_step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
                         outer_residual_u=diff_u, outer_residual_p=diff_p,
                         linear_iters=ru.iterations + rv.iterations
                         + rp.iterations,
-                        linear_residual=rp.residual)
+                        linear_residual=rp.residual,
+                        linear_iters_total=(state.linear_iters_total
+                                            + ru.iterations + rv.iterations
+                                            + rp.iterations))
 
     from .coupled import check_evolution
     state = replace(state, time=state.time + params.dt,

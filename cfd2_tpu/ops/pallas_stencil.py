@@ -136,9 +136,17 @@ def pallas_enabled() -> bool:
 def pallas_level() -> int:
     """0 = jnp stencils (default); 1 = per-half-sweep RB-GS kernels;
     2 = fused V-cycle legs (one kernel per level per leg)."""
+    raw = os.environ.get("CFD2_PALLAS", "0") or 0
     try:
-        return int(os.environ.get("CFD2_PALLAS", "0") or 0)
+        return int(raw)
     except ValueError:
+        # A truthy-but-non-numeric value ("on", "true", "1.5") silently
+        # running the jnp path would defeat the user's intent — warn once.
+        import warnings
+        warnings.warn(
+            f"CFD2_PALLAS={raw!r} is not an integer; expected 0/1/2 — "
+            "falling back to the jnp stencil path (level 0)",
+            RuntimeWarning, stacklevel=2)
         return 0
 
 

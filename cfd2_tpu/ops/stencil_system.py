@@ -435,9 +435,16 @@ def coarse_level_values2(hier, ss: StencilSystem):
     re-coarsen once per TIMESTEP instead of per outer corrector
     (SolverConfig.amg_freeze_coarse); level 0 is rebuilt from the current
     assembly at apply time (elementwise, free)."""
+    return coarse_level_values2_planes(hier, ss.P_diag2, ss.P_off2)
+
+
+def coarse_level_values2_planes(hier, P_diag2, P_off2):
+    """coarse_level_values2 from the bare planar pressure matrix — what the
+    fused step's entry-time freeze uses (assembly.assemble_pressure computes
+    just these two arrays instead of a full coupled assembly)."""
     from .amg import (_GridOps, _dense_factor,
                       compute_structured_level_values2)
-    lv2 = compute_structured_level_values2(hier, ss.P_diag2, ss.P_off2)
+    lv2 = compute_structured_level_values2(hier, P_diag2, P_off2)
     dc, oc = lv2[-1]
     factors = _dense_factor(
         dc.reshape(-1), jnp.moveaxis(oc.reshape(4, -1), 0, 1),

@@ -39,6 +39,11 @@ def load_checkpoint(path: str):
             skw[name] = jnp.asarray(data[key])
         else:
             pkw[name] = jnp.asarray(data[key])
+    # Diagnostic counters added after a checkpoint was written default to 0
+    # (forward-compatible resume; the physics fields are always present).
+    for f in dataclasses.fields(SolverState):
+        if f.name not in skw and f.name in ("linear_iters_total",):
+            skw[f.name] = jnp.asarray(0, jnp.int32)
     state = SolverState(**skw)
     params = SolverParams(**pkw) if pkw else None
     return state, params

@@ -282,6 +282,11 @@ class SolverState:
     outer_residual_p: jnp.ndarray  # f32
     linear_iters: jnp.ndarray      # int32 (FGMRES inner iterations, last solve)
     linear_residual: jnp.ndarray   # f32
+    # Krylov iterations summed over ALL outer correctors of the last step —
+    # the per-step iteration accounting every bench row reports (VERDICT r4:
+    # last-solve-only linear_iters could not decompose how much Krylov work
+    # a step actually did).
+    linear_iters_total: jnp.ndarray  # int32
 
 
 def initial_state(mesh, u0=None, p0=None, dtype=jnp.float32,
@@ -321,4 +326,5 @@ def initial_state(mesh, u0=None, p0=None, dtype=jnp.float32,
         outer_residual_p=jnp.asarray(0.0, dtype),
         linear_iters=jnp.asarray(0, jnp.int32),
         linear_residual=jnp.asarray(0.0, dtype),
+        linear_iters_total=jnp.asarray(0, jnp.int32),
     )

@@ -142,3 +142,31 @@ def test_simple_segregated_stepper():
     assert float(jnp.max(jnp.abs(state.u[:, 0]))) < 20.0
     # mass residual shrinks as the corrector loop converges the flow
     assert div < div0 * 2.0 + 1e-3
+
+
+def test_assemble_pressure_matches_full_assembly():
+    """assemble_pressure (the frozen-coarse entry assembly) must reproduce
+    the full assembly's scalar pressure matrix exactly — same expressions in
+    the same order (models/coupled.py freezes coarse AMG operators from it
+    instead of running a discarded full assembly, advisor r4)."""
+    from dataclasses import replace
+
+    from cfd2_tpu.models.assembly import assemble_pressure
+
+    geo = BackwardsStep(length=3.5, height_inlet=0.5, height_outlet=1.0,
+                        step_x=0.5)
+    mesh = generate_cut_cell_mesh(geo, 0.1, 0.1, 1.2, (3.5, 1.0))
+    dm = encode_mesh(mesh)
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.001)
+    rng = np.random.default_rng(0)
+    state = initial_state(dm, u0=np.full((dm.num_host_cells, 2), [0.1, 0.0]))
+    state = prepare(dm, state, params, config)
+    # Perturb d_p so the pressure Laplacian is not trivially uniform.
+    state = replace(state, d_p=state.d_p *
+                    jnp.asarray(rng.uniform(0.5, 2.0, dm.num_cells)
+                                .astype(np.float32)))
+    sys = assemble_coupled(dm, state, params, config)
+    P_diag, P_off = assemble_pressure(dm, state, params)
+    np.testing.assert_array_equal(np.asarray(P_diag), np.asarray(sys.P_diag))
+    np.testing.assert_array_equal(np.asarray(P_off), np.asarray(sys.P_off))

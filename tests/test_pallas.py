@@ -1,7 +1,9 @@
 """Pallas stencil kernel tests (interpret mode on CPU)."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from cfd2_tpu.ops.amg import _GridOps
 from cfd2_tpu.ops.pallas_stencil import rbgs_half_sweep, smooth_rbgs_pallas
@@ -136,3 +138,24 @@ def test_fused_vcycle_matches_jnp(monkeypatch):
     fused = structured_v_cycle(hier, lv2, b, x0, coarse_factors=fac)
     scale = float(jnp.abs(ref).max())
     assert float(jnp.abs(ref - fused).max()) < 1e-5 * max(scale, 1.0)
+
+
+@pytest.mark.skipif(jax.default_backend() != "tpu",
+                    reason="compiled Mosaic lowering needs real TPU "
+                           "(suite forces CPU unless RUN_FINE_MESH=1)")
+def test_fused_rbgs_compiled_tpu():
+    """Advisor r4: the interpret=True parity tests never exercise the actual
+    Mosaic lowering (sublane-offset output slice, DMA slab alignment).  On a
+    real TPU, the compiled kernel must match the jnp path elementwise on
+    both a single-block and a multi-block grid."""
+    from cfd2_tpu.ops.pallas_stencil import fused_rbgs2
+    for ny, nx, sweeps, seed in ((37, 53, 2, 0), (300, 128, 1, 3)):
+        diag2, off2, x, b = _grid_system(ny, nx, seed=seed)
+        ops = _GridOps((ny, nx))
+        ref_x = ops.smooth_rbgs2(diag2, off2, x, b, sweeps=sweeps)
+        ref_r = b - ops.spmv2(diag2, off2, ref_x)
+        pal_x, pal_r = fused_rbgs2(x, diag2, off2, b, (ny, nx),
+                                   sweeps=sweeps, residual=True,
+                                   interpret=False)
+        assert float(jnp.abs(ref_x - pal_x).max()) < 1e-5, (ny, nx)
+        assert float(jnp.abs(ref_r - pal_r).max()) < 1e-5, (ny, nx)

@@ -74,3 +74,38 @@ def test_parameter_sweep(setup):
     assert np.isfinite(u).all()
     # Different viscosities must give different flow fields.
     assert np.abs(u[0] - u[-1]).max() > 1e-5
+
+
+def test_banded_spatial_spmv_matches_single_device():
+    """Banded spatial skeleton (DESIGN "banded layout sharding story"):
+    the shard_map + halo-ppermute coupled SpMV over contiguous RCM cell
+    ranges must match ops/ellsys.spmv on a single device."""
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_delaunay_mesh
+    from cfd2_tpu.models.assembly import assemble_ell, prepare
+    from cfd2_tpu.ops import ellsys as el
+    from cfd2_tpu.parallel.spatial import (banded_bandwidth,
+                                           banded_spmv_sharded)
+
+    devices = _devices()
+    if len(devices) < 8:
+        pytest.skip("needs 8 devices")
+    geo = ChannelWithObstacle(3.0, 1.0, (1.0, 0.5), 0.2)
+    mesh = generate_delaunay_mesh(geo, 0.06, 0.06, 1.2, (3.0, 1.0), seed=3)
+    dm = encode_mesh(mesh)
+    assert dm.banded
+    config = SolverConfig()
+    params = SolverParams.default(dt=0.005)
+    rng = np.random.default_rng(0)
+    state = initial_state(
+        dm, u0=rng.standard_normal((dm.num_host_cells, 2)) * 0.1)
+    state = prepare(dm, state, params, config)
+    es = assemble_ell(dm, state, params, config)
+
+    halo = banded_bandwidth(dm)
+    assert halo <= dm.num_cells // 8, "halo must fit one rank range"
+    x = jnp.asarray(rng.standard_normal((3, dm.num_cells)), jnp.float32)
+    y_single = np.asarray(el.spmv(es, dm, x))
+    jmesh = JMesh(np.array(devices[:8]), axis_names=("y",))
+    y_shard = np.asarray(banded_spmv_sharded(es, dm, x, jmesh, halo))
+    scale = max(np.abs(y_single).max(), 1.0)
+    assert np.abs(y_shard - y_single).max() < 1e-5 * scale

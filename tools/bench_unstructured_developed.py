@@ -59,22 +59,29 @@ def main():
     print(f"# developed {mesh_type} {size}: {n} cells, t={meta['time']:.2f} "
           f"probe_v_amp={meta['probe_v_amplitude']:.3f}", flush=True)
 
-    t0 = time.time()
-    for _ in range(3):   # compile + heal f16 rounding (untimed)
-        s.step(mode="fused")
-    jax.block_until_ready(s.state.u)
-    int(s.state.outer_iters)
-    print(f"# compile+heal: {time.time()-t0:.1f}s", flush=True)
+    def timed(label):
+        t0 = time.time()
+        for _ in range(3):   # compile + heal f16 rounding (untimed)
+            s.step(mode="fused")
+        jax.block_until_ready(s.state.u)
+        int(s.state.outer_iters)
+        print(f"# [{label}] compile+heal: {time.time()-t0:.1f}s", flush=True)
 
-    t0 = time.time()
-    outers, lins = [], []
-    for _ in range(steps):
-        s.step(mode="fused")
-        outers.append(int(s.state.outer_iters))   # value read: device sync
-        lins.append(int(s.state.linear_iters))
-    dt_step = (time.time() - t0) / steps
-    print(f"# outer_iters={outers} last_linear_iters={lins}", flush=True)
-    assert np.isfinite(s.get_u()).all()
+        t0 = time.time()
+        outers, lins, ltot = [], [], []
+        for _ in range(steps):
+            s.step(mode="fused")
+            outers.append(int(s.state.outer_iters))  # value read: device sync
+            lins.append(int(s.state.linear_iters))
+            ltot.append(int(s.state.linear_iters_total))
+        dt_step = (time.time() - t0) / steps
+        print(f"# [{label}] outer_iters={outers} "
+              f"linear_iters_total={ltot}", flush=True)
+        assert np.isfinite(s.get_u()).all()
+        return {"step_seconds": round(dt_step, 4),
+                "cell_updates_per_sec": round(n / dt_step, 1),
+                "outer_iters": outers, "last_linear_iters": lins,
+                "linear_iters_total": ltot}
 
     m = s.mesh
     kc = "" if m.bd_k is None else f",k{m.bd_k}"
@@ -84,17 +91,28 @@ def main():
                     f"NW={m.bd2_bases.shape[1]}{kc})")
               if m.bd2_W is not None
               else "other")
-    row = {
-        "mesh": size if not max_cell else f"{size}/{max_cell}",
-        "mesh_type": mesh_type, "cells": n,
-        "layout": layout, "precond": "amg", "state": "developed",
-        "step_seconds": round(dt_step, 4),
-        "cell_updates_per_sec": round(n / dt_step, 1),
-        "outer_iters": outers, "last_linear_iters": lins,
-    }
-    print(json.dumps(row), flush=True)
-    with open(os.path.join(ROOT, "BENCH_SWEEP.jsonl"), "a") as f:
-        f.write(json.dumps(row) + "\n")
+
+    def emit(policy, res):
+        row = {
+            "mesh": size if not max_cell else f"{size}/{max_cell}",
+            "mesh_type": mesh_type, "cells": n,
+            "layout": layout, "precond": "amg", "state": "developed",
+            "policy": policy, **res,
+        }
+        print(json.dumps(row), flush=True)
+        with open(os.path.join(ROOT, "BENCH_SWEEP.jsonl"), "a") as f:
+            f.write(json.dumps(row) + "\n")
+
+    # Repo outer policy (alpha ramp + pressure-plateau patience).
+    emit("accelerated", timed("accelerated"))
+
+    # A/B under the reference outer policy (coupled_solver.rs:396-479: no
+    # alpha ramp, no plateau exit) — exactly bench.py's reference_outer leg,
+    # now on the unstructured rows too (VERDICT r4 #2).
+    if os.environ.get("BENCH_SKIP_AB") != "1":
+        s.config = replace(s.config, alpha_u_final=0.0,
+                           outer_pressure_patience=0)
+        emit("reference", timed("reference"))
 
 
 if __name__ == "__main__":
