@@ -44,6 +44,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache")
 # interpretable.  Set CFD2_AOT_CACHE= (empty) to disable.
 os.environ.setdefault("CFD2_AOT_CACHE", "1")
 os.environ.setdefault("CFD2_AOT_CACHE_DIR", "/root/repo/.aot_cache")
+# A driver/cold run compiles once and exits: skip executable serialization
+# (it costs seconds at 1M with zero chance of a later hit).  Repeat-run
+# users export CFD2_AOT_STORE=1 to persist executables.
+os.environ.setdefault("CFD2_AOT_STORE", "0")
+os.environ.setdefault("CFD2_AOT_TIME", "1")   # phase decomposition lines
 
 ESTIMATED_WGPU_BASELINE = 2.0e5  # cell-updates/sec (see module docstring)
 # Developed-state checkpoint; override (e.g. bench_developed_2m.npz from
@@ -136,7 +141,8 @@ def run_bench(min_cell=None):
                     adaptive_linear_tol=os.environ.get(
                         "BENCH_ADAPTIVE", "0") == "1",
                     presolve_pressure_iters=int(os.environ.get(
-                        "BENCH_PRESOLVE", "0")))
+                        "BENCH_PRESOLVE", "0")),
+                    fgmres_recycle=int(os.environ.get("BENCH_RECYCLE", "0")))
     u0 = np.zeros((n, 2))
     u0[mesh.cell_cx < min_cell * 2, 0] = 1.0
     s.set_u(u0)
@@ -148,6 +154,8 @@ def run_bench(min_cell=None):
     mode = os.environ.get("BENCH_MODE", "fused")
     print(f"# step mode: {mode}", file=sys.stderr)
     t0 = time.time()
+    s._get_amg()
+    print(f"# amg hierarchy build: {time.time() - t0:.1f}s", file=sys.stderr)
     s.step(mode=mode)
     jax.block_until_ready(s.state.u)
     t_compile = time.time() - t0

@@ -92,13 +92,39 @@ def _use_stencil_path(mesh, config, amg) -> bool:
     return True
 
 
+def _basis_init(mesh, state, config, amg):
+    """Zero Krylov-basis tuple matching fgmres_solve's return_basis shapes
+    for this mesh/config (SolverConfig.fgmres_recycle carry seed).  None on
+    the generic block path (recycling unsupported there)."""
+    m = config.fgmres_restart
+    dtype = jnp.float32
+    bd = jnp.bfloat16 if config.fgmres_basis_bf16 else dtype
+    if _use_stencil_path(mesh, config, amg):
+        ny, nx = mesh.grid_shape
+        vshape = (3, ny, nx)
+    elif mesh.banded and config.precond_type != PRECOND_BLOCK_JACOBI:
+        vshape = (3, state.u.shape[0])
+    else:
+        return None
+    if vshape[-1] < 128:       # mirror fgmres_solve's flatten criterion
+        vshape = (int(np.prod(vshape)),)
+    return (jnp.zeros((m + 1,) + vshape, bd),
+            jnp.zeros((m,) + vshape, dtype),
+            jnp.zeros((m + 1, m), dtype),
+            jnp.zeros((m,), dtype), jnp.zeros((m,), dtype), jnp.int32(0))
+
+
 def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
-                        x_guess=None, presolve_ok=None, frozen_amg=None):
+                        x_guess=None, presolve_ok=None, frozen_amg=None,
+                        recycle=None):
     """Assemble the coupled system (stencil form on structured meshes,
     block-ELL otherwise) and run one preconditioned FGMRES solve.
     ``x_guess``: optional (N, 3) Krylov initial guess (defaults to the
     current fields).  ``frozen_amg``: per-step frozen coarse AMG operators
-    (banded path; see SolverConfig.amg_freeze_coarse)."""
+    (banded path; see SolverConfig.amg_freeze_coarse).  ``recycle``: a
+    previous solve's Krylov basis tuple (SolverConfig.fgmres_recycle);
+    when given, the solve also returns its own basis in result.basis."""
+    rb = recycle is not None
     if _use_stencil_path(mesh, config, amg):
         from ..ops import stencil_system as st
         from .assembly import assemble_stencil
@@ -197,6 +223,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
                 stagnation_limit=config.fgmres_stagnation_limit,
                 basis_dtype=jnp.bfloat16 if bf16 or config.fgmres_basis_bf16
                 else None,
+                recycle=None if bf16 else recycle,
+                return_basis=rb and not bf16,
                 f64_norms=config.fgmres_f64_norms,
                 incycle_window=config.fgmres_incycle_window,
                 incycle_tol=config.fgmres_incycle_tol)
@@ -262,7 +290,8 @@ def _assemble_and_solve(mesh, state, params, config, amg, n_sweeps, tol,
             basis_dtype=jnp.bfloat16 if config.fgmres_basis_bf16 else None,
             f64_norms=config.fgmres_f64_norms,
             incycle_window=config.fgmres_incycle_window,
-            incycle_tol=config.fgmres_incycle_tol)
+            incycle_tol=config.fgmres_incycle_tol,
+            recycle=recycle, return_basis=rb)
         return replace(result, x=result.x.T)
 
     sys = assemble_coupled(mesh, state, params, config)
@@ -386,12 +415,17 @@ def check_evolution(state: SolverState, config: SolverConfig,
 
 @partial(jax.jit, static_argnames=("config",))
 def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
-         config: SolverConfig, amg=None) -> SolverState:
+         config: SolverConfig, amg=None, krylov=None) -> SolverState:
     """Advance one timestep (reference GpuSolver::step -> step_coupled).
 
     ``amg``: optional AmgHierarchy pytree (passed as a dynamic argument so its
     index arrays are jit inputs, not embedded constants) used when
-    ``config.precond_type == PRECOND_AMG``."""
+    ``config.precond_type == PRECOND_AMG``.
+
+    ``krylov``: with ``config.fgmres_recycle >= 2``, the previous step's
+    Krylov basis tuple (or a zero seed) — the FIRST outer's solve then
+    warm-starts from the previous step's final search space, and the step
+    returns ``(state, krylov')`` instead of ``state``."""
     n_sweeps = config.pressure_sweeps(mesh.num_cells)
 
     # History rotation (coupled_solver.rs:43-71).
@@ -436,14 +470,24 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
     aa_depth = config.anderson_depth
     aa_hist0 = jnp.zeros((aa_depth + 1, D), jnp.float32) if aa_depth else None
 
+    # Krylov recycling across outer correctors (SolverConfig.fgmres_recycle):
+    # the previous solve's basis rides the carry; outer 0 sees the zero seed
+    # (its j=0 guard makes the warm start a no-op).
+    kry0 = (_basis_init(mesh, state, config, amg)
+            if config.fgmres_recycle else None)
+    cross_step = (config.fgmres_recycle >= 2 and krylov is not None
+                  and kry0 is not None)
+    if cross_step:
+        kry0 = krylov
+
     def cond(carry):
         (state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr,
-         lt) = carry
+         lt, kry) = carry
         return (it < max_iters) & ~done
 
     def body(carry):
         (state, aa, prev_du, prev_dp, it, done, du_ok, dp_ref, li, lr,
-         lt) = carry
+         lt, kry) = carry
 
         # Re-prepare on later iterations / higher-order schemes
         # (coupled_solver.rs:166-189).
@@ -470,7 +514,9 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
         result = _assemble_and_solve(mesh, state, params, config, amg,
                                      n_sweeps, lin_tol, x_guess=x_guess,
                                      presolve_ok=(it == 0),
-                                     frozen_amg=frozen_amg)
+                                     frozen_amg=frozen_amg, recycle=kry)
+        if kry is not None and result.basis is not None:
+            kry = result.basis
 
         # Under-relaxed field update + max-diff (update_fields_from_coupled.wgsl).
         alpha_u = params.alpha_u
@@ -507,17 +553,21 @@ def step(mesh: DeviceMesh, state: SolverState, params: SolverParams,
 
         return (state, aa, diff_u, diff_p, it + 1, done, du_ok, dp_ref,
                 result.iterations, result.residual,
-                lt + result.iterations)
+                lt + result.iterations, kry)
 
     init = (state, (aa_hist0, aa_hist0) if aa_depth else (), big, big,
             jnp.int32(0), jnp.asarray(False), jnp.int32(0), big,
-            jnp.int32(0), jnp.asarray(0.0, jnp.float32), jnp.int32(0))
-    state, _, _, _, it, _, _, _, li, lr, lt = lax.while_loop(cond, body, init)
+            jnp.int32(0), jnp.asarray(0.0, jnp.float32), jnp.int32(0), kry0)
+    (state, _, _, _, it, _, _, _, li, lr, lt, kry_out) = lax.while_loop(
+        cond, body, init)
     state = replace(state, time=state.time + params.dt,
                     linear_iters=li, linear_residual=lr,
                     linear_iters_total=lt)
 
-    return check_evolution(state, config, valid=mesh.c_valid)
+    state = check_evolution(state, config, valid=mesh.c_valid)
+    if cross_step:
+        return state, kry_out
+    return state
 
 
 # ----------------------------------------------------------------------
@@ -737,6 +787,7 @@ class CoupledSolver:
         self.params = params or SolverParams.default()
         self.state = initial_state(self.mesh)
         self._amg = None
+        self._krylov = None   # cross-step recycling (fgmres_recycle >= 2)
         self._aot = {}
 
     # --- setters (reference solver.rs:36-95) ---
@@ -843,6 +894,16 @@ class CoupledSolver:
         if mode == "host":
             self.state = step_host(self.mesh, self.state, self.params,
                                    self.config, self._get_amg())
+        elif self.config.fgmres_recycle >= 2:
+            # Cross-step Krylov recycling: the basis tuple shuttles between
+            # steps outside SolverState (1.2 GB at 1M cells — not a
+            # checkpointable quantity).
+            if self._krylov is None:
+                self._krylov = _basis_init(self.mesh, self.state, self.config,
+                                           self._get_amg())
+            self.state, self._krylov = step(
+                self.mesh, self.state, self.params, self.config,
+                self._get_amg(), self._krylov)
         elif os.environ.get("CFD2_AOT_CACHE"):
             # Executable-level persistence: Mosaic kernel compiles survive
             # across processes (runtime/aot_cache.py).  One lowering per

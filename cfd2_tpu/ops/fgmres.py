@@ -39,6 +39,10 @@ class FgmresResult:
     iterations: jnp.ndarray    # int32 total inner iterations
     residual: jnp.ndarray      # f32 final (true) residual norm
     converged: jnp.ndarray     # bool
+    # Krylov recycling handoff (None unless return_basis=True): the last
+    # cycle's (V, Z, R, cs, sn, j) — V/Z in internal (possibly flattened)
+    # layout, R the Givens-rotated Hessenberg, j the valid column count.
+    basis: tuple | None = None
 
 
 def _norm(v: jnp.ndarray) -> jnp.ndarray:
@@ -82,6 +86,8 @@ def fgmres_solve(
     f64_norms: bool = False,
     incycle_window: int = 0,
     incycle_tol: float = 0.02,
+    recycle: tuple | None = None,
+    return_basis: bool = False,
 ) -> FgmresResult:
     """Solve A x = b; vectors have shape (N, 3) (or any fixed shape).
 
@@ -104,6 +110,23 @@ def fgmres_solve(
     orthogonality; the per-cycle *true-residual* recomputation and restart
     logic absorb that, so convergence is protected by construction (flexible
     GMRES already tolerates inexact preconditioning of exactly this kind).
+
+    ``recycle``: a previous solve's ``FgmresResult.basis`` (same shapes).
+    Before the first Arnoldi cycle the initial guess is improved by the
+    least-squares projection of r0 onto the recycled search space:
+    A_prev Z = V Q^T R_ext (Arnoldi + Givens), so
+    min_y ||r0 - A_prev Z y|| solves R y = (Q V^T r0)[:j] with the stored
+    rotations — one basis read + one triangular solve.  The current matrix
+    differs from A_prev (outer correctors re-linearize), so the correction
+    is self-guarded: one extra matvec confirms it reduced ||r0|| before it
+    is taken (same guard discipline as the pressure presolve).  Krylov
+    recycling/deflation for sequences of slowly-varying systems follows
+    Parks et al., GCRO-DR (SIAM J. Sci. Comput. 28, 2006) — this is its
+    cheapest projection-only form, with FGMRES flexibility standing in for
+    exact deflation.
+
+    ``return_basis``: return the last cycle's (V, Z, R, cs, sn, j) in
+    ``FgmresResult.basis`` for a later solve's ``recycle``.
 
     ``incycle_window``: if > 0, exit an Arnoldi cycle early when the
     minimized-residual estimate |g_{j+1}| has improved by less than
@@ -158,6 +181,45 @@ def fgmres_solve(
 
     r0 = bf - mv(x0)
     beta0 = nrm(r0)
+
+    if recycle is not None:
+        # Projection warm start from a previous solve's basis (see
+        # docstring).  All dead-cheap relative to one Arnoldi iteration
+        # except the guard matvec and the two basis reads.
+        V_r, Z_r, R_r, cs_r, sn_r, j_r = recycle
+        d = rowdot(V_r.astype(dtype), r0)            # (m+1,) = V^T r0
+
+        def _rot(i, dd):
+            c, s = cs_r[i], sn_r[i]
+            di, di1 = dd[i], dd[i + 1]
+            return dd.at[i].set(c * di + s * di1).at[i + 1].set(
+                -s * di + c * di1)
+
+        d = lax.fori_loop(0, j_r, _rot, d)           # Q V^T r0
+        km = jnp.arange(m)
+        # Truncate to the well-conditioned leading columns: near the donor
+        # solve's convergence the trailing R diagonals are tiny, and R^{-1}
+        # through them turns the projection into amplified f32 noise that
+        # COSTS iterations (measured: 29 -> 43 linear iters/step without
+        # this guard).  valid_i = every diagonal up to i is healthy.
+        diag = jnp.abs(jnp.diagonal(R_r[:m, :m]))
+        healthy = (km < j_r) & (diag > 1e-4 * jnp.maximum(diag[0], 1e-30))
+        valid = jnp.cumprod(healthy.astype(jnp.int32)) > 0
+        mask2 = (valid[:, None] & valid[None, :]).astype(dtype)
+        Reff = R_r[:m, :m] * mask2 + jnp.diag(
+            jnp.where(valid, 0.0, 1.0).astype(dtype))
+        geff = jnp.where(valid, d[:m], 0.0)
+        y_r = jax.scipy.linalg.solve_triangular(Reff, geff, lower=False)
+        dx = rowexp(y_r, Z_r)
+        r_try = r0 - mv(dx)
+        rn_try = nrm(r_try)
+        # Accept only a MEANINGFUL reduction: a marginal one means the old
+        # space barely overlaps the new error and the dx noise floor would
+        # dominate.
+        ok = (j_r > 0) & (rn_try < 0.7 * beta0)
+        x0 = jnp.where(ok, x0 + dx, x0)
+        r0 = jnp.where(ok, r_try, r0)
+        beta0 = jnp.where(ok, rn_try, beta0)
 
     V0 = jnp.zeros((m + 1,) + vshape, basis_dtype)
     Z0 = jnp.zeros((m,) + vshape, dtype)
@@ -303,21 +365,23 @@ def fgmres_solve(
                 p = lax.cond(j > start, _part, lambda: jnp.zeros_like(x))
             upd = upd + p
         x = x + upd
-        return x, V, Z, H, j, conv
+        return x, V, Z, H, cs, sn, j, conv
 
     def outer_cond(carry):
-        (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
+        (x, V, Z, H, cs, sn, jl, beta, k, total, conv, stag, prev_res,
+         res) = carry
         return (k < max_restarts) & ~conv & (beta > 0.0)
 
     def outer_body(carry):
-        (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = carry
+        (x, V, Z, H, cs, sn, jl, beta, k, total, conv, stag, prev_res,
+         res) = carry
         # Seed V[0] = r / beta.
         r = bf - mv(x)
         rn = nrm(r)
         v0 = jnp.where(rn > 0.0, 1.0 / jnp.maximum(rn, 1e-30), 0.0) * r
         V = V.at[0].set(v0.astype(basis_dtype))
 
-        x, V, Z, H, j, cyc_conv = inner_cycle(x, V, Z, H, rn)
+        x, V, Z, H, cs, sn, j, cyc_conv = inner_cycle(x, V, Z, H, rn)
         total = total + j
 
         # True residual after the cycle (coupled_solver_fgmres.rs:2354-2373).
@@ -331,14 +395,16 @@ def fgmres_solve(
         stag_new = jnp.where(stagnated, stag + 1, 0)
         conv_new = conv_new | (stag_new >= stagnation_limit)
 
-        return (x, V, Z, H, res_new, k + 1, total, conv_new,
+        return (x, V, Z, H, cs, sn, j, res_new, k + 1, total, conv_new,
                 stag_new, res_new, res_new)
 
-    init = (x0, V0, Z0, H0, beta0, jnp.int32(0), jnp.int32(0),
-            beta0 < target, jnp.int32(0),
+    cs0 = jnp.zeros((m,), dtype)
+    init = (x0, V0, Z0, H0, cs0, cs0, jnp.int32(0), beta0, jnp.int32(0),
+            jnp.int32(0), beta0 < target, jnp.int32(0),
             jnp.asarray(jnp.finfo(dtype).max, dtype), beta0)
-    (x, V, Z, H, beta, k, total, conv, stag, prev_res, res) = \
+    (x, V, Z, H, cs, sn, jl, beta, k, total, conv, stag, prev_res, res) = \
         lax.while_loop(outer_cond, outer_body, init)
 
+    basis = (V, Z, H, cs, sn, jl) if return_basis else None
     return FgmresResult(x=x.reshape(shape), iterations=total, residual=res,
-                        converged=conv)
+                        converged=conv, basis=basis)

@@ -48,17 +48,30 @@ def _key(lowered) -> str:
     return h.hexdigest()[:32]
 
 
-def _compile_and_store(lowered, path: str):
-    from jax.experimental import serialize_executable as se
+def _trace(msg):
+    if os.environ.get("CFD2_AOT_TIME"):
+        import sys
+        print(f"# aot_cache: {msg}", file=sys.stderr, flush=True)
 
+
+def _compile_and_store(lowered, path: str, store: bool = True):
+    from jax.experimental import serialize_executable as se
+    import time
+
+    t0 = time.time()
     compiled = lowered.compile()
+    _trace(f"compile {time.time() - t0:.1f}s")
+    if not store:
+        return compiled
     try:
+        t0 = time.time()
         payload = se.serialize(compiled)
         os.makedirs(os.path.dirname(path), exist_ok=True)
         tmp = f"{path}.tmp.{os.getpid()}"
         with open(tmp, "wb") as f:
             pickle.dump(payload, f)
         os.replace(tmp, path)
+        _trace(f"serialize+store {time.time() - t0:.1f}s")
         log.info("aot_cache store %s", path)
     except Exception as e:
         log.warning("aot_cache store failed (%s); executable not persisted", e)
@@ -105,9 +118,16 @@ def cached_compile(jitfn, *args, cache_dir: str | None = None, **kwargs):
     back to a plain compile if the backend cannot serialize/deserialize
     executables."""
     from jax.experimental import serialize_executable as se
+    import time
 
     cache_dir = cache_dir or DEFAULT_DIR
+    # CFD2_AOT_STORE=0: compile through the same path but skip executable
+    # serialization — a cold single-run process (the driver bench) pays the
+    # store cost with zero chance of a later hit.
+    store = os.environ.get("CFD2_AOT_STORE", "1") != "0"
+    t0 = time.time()
     lowered = jitfn.lower(*args, **kwargs)
+    _trace(f"lower {time.time() - t0:.1f}s")
     key = _key(lowered)
     path = os.path.join(cache_dir, f"{key}.pjrt")
 
@@ -121,4 +141,4 @@ def cached_compile(jitfn, *args, cache_dir: str | None = None, **kwargs):
         except Exception as e:   # stale jaxlib, truncated file, ...
             log.warning("aot_cache load failed (%s); recompiling", e)
 
-    return _compile_and_store(lowered, path)
+    return _compile_and_store(lowered, path, store=store)

@@ -146,6 +146,19 @@ class SolverConfig:
     # = the reference's fixed rtol=1e-5 every solve
     # (coupled_solver_fgmres.rs:1737-1740); no tolerance deviation.
     adaptive_linear_tol: bool = False
+    # Krylov recycling across outer correctors (fused step; VERDICT r4 #6 /
+    # DESIGN §9c's last untried lever).  1: each outer's FGMRES warm-starts
+    # from a guarded least-squares projection of its residual onto the
+    # previous solve's Krylov space (ops/fgmres.py `recycle` — GCRO-DR's
+    # projection-only form).  Consecutive outer systems differ by one
+    # under-relaxed field update, so the previous search space retires most
+    # of the shared low-frequency error at ~2 iterations' bandwidth cost;
+    # one extra matvec confirms the correction reduced ||r0|| before it is
+    # taken, so the rtol/atol contract never loosens.  Carries (V, Z, R,
+    # givens) in the outer-loop carry: +2(m+1)·3N floats of HBM while the
+    # step runs.  0 = off (reference parity: no recycling,
+    # coupled_solver_fgmres.rs restarts cold every outer).
+    fgmres_recycle: int = 0
 
     # Schur pressure relaxation: coupled_solver_fgmres.rs:1812-1817
     precond_omega: float = 1.2

@@ -173,3 +173,60 @@ def test_incycle_stall_exit_cuts_iterations():
     # loop's true-residual contract still guards the fields).
     assert int(r_cut.iterations) < int(r_ref.iterations)
     assert float(r_cut.residual) < 2.0 * max(float(r_ref.residual), 1e-9)
+
+
+def test_recycle_warm_start_cuts_iterations():
+    """A second solve of a slightly perturbed system warm-started from the
+    first solve's basis (recycle=, return_basis=) must (a) keep the
+    convergence contract and (b) take fewer Arnoldi iterations than a cold
+    solve of the same system (SolverConfig.fgmres_recycle rationale)."""
+    rng = np.random.default_rng(3)
+    N = 60
+    A1 = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.1
+    A1 += np.eye(3 * N, dtype=np.float32) * 4.0
+    # Perturbed system: one outer corrector's worth of drift.
+    A2 = A1 + 0.01 * rng.standard_normal((3 * N, 3 * N)).astype(np.float32)
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+
+    def solve(A, recycle=None):
+        Aj = jnp.asarray(A)
+        return fgmres_solve(
+            lambda x: (Aj @ x.reshape(-1)).reshape(N, 3),
+            lambda r: r * 0.25, jnp.asarray(b),
+            jnp.zeros((N, 3), jnp.float32), restart=30, max_restarts=10,
+            tol=1e-6, abstol=1e-10, recycle=recycle, return_basis=True)
+
+    r1 = solve(A1)
+    assert bool(r1.converged) and r1.basis is not None
+    cold = solve(A2)
+    warm = solve(A2, recycle=r1.basis)
+    for res in (cold, warm):
+        x = np.asarray(res.x).reshape(-1)
+        rel = np.linalg.norm(A2 @ x - b.reshape(-1)) / np.linalg.norm(b)
+        assert bool(res.converged) and rel < 1e-4
+    assert int(warm.iterations) < int(cold.iterations)
+
+
+def test_recycle_zero_seed_is_noop():
+    """The j=0 zero-basis seed (outer 0 of a fused step) must leave the solve
+    bitwise identical to a cold solve — the guard rejects it."""
+    rng = np.random.default_rng(4)
+    N = 24
+    A = rng.standard_normal((3 * N, 3 * N)).astype(np.float32) * 0.1
+    A += np.eye(3 * N, dtype=np.float32) * 5.0
+    b = rng.standard_normal((N, 3)).astype(np.float32)
+    Aj = jnp.asarray(A)
+    kw = dict(restart=20, max_restarts=5, tol=1e-6, abstol=1e-10)
+    mv = lambda x: (Aj @ x.reshape(-1)).reshape(N, 3)
+    pc = lambda r: r * 0.2
+    x0 = jnp.zeros((N, 3), jnp.float32)
+    cold = fgmres_solve(mv, pc, jnp.asarray(b), x0, **kw)
+    m = 20
+    D = 3 * N
+    seed = (jnp.zeros((m + 1, D), jnp.float32), jnp.zeros((m, D), jnp.float32),
+            jnp.zeros((m + 1, m), jnp.float32), jnp.zeros((m,), jnp.float32),
+            jnp.zeros((m,), jnp.float32), jnp.int32(0))
+    warm = fgmres_solve(mv, pc, jnp.asarray(b), x0, recycle=seed,
+                        return_basis=True, **kw)
+    assert int(cold.iterations) == int(warm.iterations)
+    np.testing.assert_array_equal(np.asarray(cold.x), np.asarray(warm.x))
