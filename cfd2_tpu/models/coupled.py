@@ -898,12 +898,26 @@ class CoupledSolver:
             # Cross-step Krylov recycling: the basis tuple shuttles between
             # steps outside SolverState (1.2 GB at 1M cells — not a
             # checkpointable quantity).
+            amg = self._get_amg()
             if self._krylov is None:
                 self._krylov = _basis_init(self.mesh, self.state, self.config,
-                                           self._get_amg())
-            self.state, self._krylov = step(
-                self.mesh, self.state, self.params, self.config,
-                self._get_amg(), self._krylov)
+                                           amg)
+            if os.environ.get("CFD2_AOT_CACHE"):
+                fp = (self.config, _arg_fingerprint(
+                    (self.mesh, self.state, self.params, amg, self._krylov)))
+                c = self._aot.get(fp)
+                if c is None:
+                    from ..runtime.aot_cache import cached_compile
+                    c = cached_compile(step, self.mesh, self.state,
+                                       self.params, self.config, amg,
+                                       self._krylov)
+                    self._aot[fp] = c
+                self.state, self._krylov = c(self.mesh, self.state,
+                                             self.params, amg, self._krylov)
+            else:
+                self.state, self._krylov = step(
+                    self.mesh, self.state, self.params, self.config,
+                    amg, self._krylov)
         elif os.environ.get("CFD2_AOT_CACHE"):
             # Executable-level persistence: Mosaic kernel compiles survive
             # across processes (runtime/aot_cache.py).  One lowering per

@@ -349,11 +349,13 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
 
         levels.append(AmgLevel(
             n=nc, k=kc,
-            ell_neighbor=jnp.asarray(coarse_ngh, jnp.int32),
-            rap_target=jnp.asarray(targets, jnp.int32),
-            agg=jnp.asarray(agg, jnp.int32),
-            members=jnp.asarray(members, jnp.int32),
-            members_mask=jnp.asarray(members_mask, jnp.float32),
+            # Host-side dtype conversion (see _structured_levels note): a
+            # device convert_element_type is a tunnel compile per array.
+            ell_neighbor=jnp.asarray(np.asarray(coarse_ngh, np.int32)),
+            rap_target=jnp.asarray(np.asarray(targets, np.int32)),
+            agg=jnp.asarray(np.asarray(agg, np.int32)),
+            members=jnp.asarray(np.asarray(members, np.int32)),
+            members_mask=jnp.asarray(np.asarray(members_mask, np.float32)),
             bm_ell=bme, bm_members=bmm, bm_agg=bma,
             w_ell=we, w_members=wm, w_agg=wa,
             g_ell=ge, g_members=gm,
@@ -363,6 +365,16 @@ def build_hierarchy(ck_neighbor: np.ndarray, ck_mask: np.ndarray,
         mask = coarse_mask
 
     return AmgHierarchy(levels=tuple(levels))
+
+
+def _host(mesh, name: str) -> np.ndarray:
+    """Host copy of a DeviceMesh array for setup-time (build) consumers —
+    encode_mesh's ``amg_host`` dict when present (zero device traffic),
+    device readback otherwise (a reconstructed mesh inside a transform)."""
+    host = getattr(mesh, "amg_host", None)
+    if host is not None and name in host:
+        return host[name]
+    return np.asarray(getattr(mesh, name))
 
 
 def _structured_rap_target(nyf, nxf, nyc, nxc, kf,
@@ -427,7 +439,11 @@ def _structured_levels(ny, nx, internal0, diag_valid0,
             diag_valid=diag_valid0 if first else None)
         levels.append(StructuredAmgLevel(
             fine_grid=(nyf, nxf), grid=(nyc, nxc),
-            rap_target=jnp.asarray(targets, jnp.int32)))
+            # dtype conversion on HOST: jnp.asarray(x, int32) on an int64
+            # array lowers a device convert_element_type — one more tunnel
+            # compile per level (pinned by
+            # test_structured_hierarchy_build_is_host_only).
+            rap_target=jnp.asarray(targets.astype(np.int32))))
         nyf, nxf = nyc, nxc
         first = False
     return levels
@@ -442,17 +458,25 @@ def build_structured_hierarchy(mesh,
         return None
     ny, nx = mesh.grid_shape
     # Level-0 validity from the device mesh.
-    internal0 = np.asarray(mesh.ck_mask * (1.0 - mesh.ck_is_boundary)) > 0
+    # HOST numpy math on encode-time host copies only: an eager jnp op on
+    # the DeviceMesh arrays here compiles a tiny executable through the
+    # remote-compile tunnel (measured 410 s of "amg hierarchy build" on a
+    # slow-tunnel day), and even np.asarray readback of the 100 MB masks
+    # costs ~140 s of tunnel transfer.  encode_mesh attaches `amg_host`
+    # for exactly this consumer.
+    internal0 = (_host(mesh, "ck_mask")
+                 * (1.0 - _host(mesh, "ck_is_boundary"))) > 0
     internal0 = internal0[:, :4]
-    diag_valid0 = np.asarray(mesh.c_valid) > 0
+    diag_valid0 = _host(mesh, "c_valid") > 0
 
     levels = _structured_levels(ny, nx, internal0, diag_valid0,
                                 min_coarse=min_coarse)
     if not levels:
         return None
-    diag_valid2 = jnp.asarray(diag_valid0.reshape(ny, nx), jnp.float32)
-    internal2 = jnp.asarray(
-        np.moveaxis(internal0.reshape(ny, nx, 4), 2, 0).astype(np.float32))
+    diag_valid2 = jnp.asarray(
+        diag_valid0.reshape(ny, nx).astype(np.float32))
+    internal2 = jnp.asarray(np.ascontiguousarray(
+        np.moveaxis(internal0.reshape(ny, nx, 4), 2, 0)).astype(np.float32))
     return StructuredAmgHierarchy(levels=tuple(levels),
                                   diag_valid2=diag_valid2,
                                   internal2=internal2)
@@ -532,7 +556,7 @@ def build_multilevel_amg(mesh) -> MultilevelAmg | None:
             out += up[:ny0, :nx0]
         return out
 
-    valid = np.asarray(mesh.c_valid)
+    valid = _host(mesh, "c_valid")
     fluid = spread_np(valid) > 0                       # (ny0, nx0)
 
     internal2 = np.zeros((4, ny0, nx0), dtype=bool)
@@ -550,8 +574,8 @@ def build_multilevel_amg(mesh) -> MultilevelAmg | None:
         diag_valid2=jnp.asarray(fluid, jnp.float32),
         internal2=jnp.asarray(internal2.astype(np.float32)))
 
-    has_outlet = ((np.asarray(mesh.ck_boundary) == 2)
-                  & (np.asarray(mesh.ck_mask) > 0)).any(axis=1)
+    has_outlet = ((_host(mesh, "ck_boundary") == 2)
+                  & (_host(mesh, "ck_mask") > 0)).any(axis=1)
     outlet = spread_np(has_outlet.astype(np.float64)) > 0
     outlet_e2 = np.zeros((ny0, nx0))
     outlet_e2[:, -1] = (outlet & fluid)[:, -1]
@@ -1201,8 +1225,8 @@ def build_hierarchy_for_mesh(mesh, agg_passes: int = 0):
         hier = build_multilevel_amg(mesh)
         if hier is not None:
             return hier
-    hier = build_hierarchy(np.asarray(mesh.ck_neighbor),
-                           np.asarray(mesh.ck_mask),
-                           np.asarray(mesh.c_valid),
+    hier = build_hierarchy(_host(mesh, "ck_neighbor"),
+                           _host(mesh, "ck_mask"),
+                           _host(mesh, "c_valid"),
                            agg_passes=agg_passes or 2)
     return hier if hier.levels else None

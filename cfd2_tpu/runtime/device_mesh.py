@@ -1024,7 +1024,7 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
     as_f = partial(jnp.asarray, dtype=dtype)
     as_i = partial(jnp.asarray, dtype=jnp.int32)
 
-    return DeviceMesh(
+    dm = DeviceMesh(
         num_cells=N_dev, num_faces=F, max_faces=K, num_host_cells=N_host,
         grid_shape=grid_shape, ml_levels=ml_levels, bd_W=bd_W, bd2_W=bd2_W,
         bd_wgs=bd_wgs, bd_k=bd_kcap,
@@ -1066,3 +1066,18 @@ def encode_mesh(mesh: Mesh, dtype=jnp.float32, structured: str = "auto",
         ck_rx=as_f(scat(fc_x - this_cx)), ck_ry=as_f(scat(fc_y - this_cy)),
         ck_dcdx=as_f(scat(dvx)), ck_dcdy=as_f(scat(dvy)),
     )
+    # Host copies for setup-time consumers (AMG hierarchy build): reading
+    # these back from the device costs ~100 MB of tunnel readback (measured
+    # 140 s of "amg hierarchy build" at 1M), and eager device math on them
+    # compiles tiny executables remotely.  A non-pytree attribute: invisible
+    # to jit/flatten; ops/amg falls back to device readback when absent
+    # (e.g. a DeviceMesh reconstructed inside a transform).
+    object.__setattr__(dm, "amg_host", {
+        "ck_mask": np.asarray(mask, np.float32),
+        "ck_is_boundary": np.asarray(scat(e_is_b.astype(np.float64)),
+                                     np.float32),
+        "c_valid": np.asarray(c_valid, np.float32),
+        "ck_neighbor": np.asarray(ck_neighbor, np.int32),
+        "ck_boundary": np.asarray(scat(bdry, 0, np.int64), np.int32),
+    })
+    return dm

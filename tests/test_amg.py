@@ -167,3 +167,48 @@ def test_truncated_structured_hierarchy_contracts():
         r = b.reshape(ny, nx) - (ss.P_diag2 * x2 + sigma)
         rel = float(jnp.linalg.norm(r.reshape(-1))) / bn
         assert rel < 0.2, f"min_coarse={min_coarse}: rel={rel}"
+
+
+def test_structured_hierarchy_build_is_host_only():
+    """Hierarchy construction must not dispatch eager device ops: through
+    the remote-compile tunnel each tiny eager primitive compiles its own
+    executable — measured 410 s of 'amg hierarchy build' at 1M cells on a
+    slow-tunnel day (round-5 bench phase decomposition) for milliseconds of
+    arithmetic.  Pin: no jax compilations occur during the build."""
+    import logging
+
+    import jax
+
+    from cfd2_tpu.mesh import ChannelWithObstacle, generate_cut_cell_mesh
+    from cfd2_tpu.ops.amg import build_hierarchy_for_mesh
+
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5),
+                              obstacle_radius=0.2)
+    mesh = encode_mesh(generate_cut_cell_mesh(geo, 0.02, 0.02, 1.2,
+                                              (3.0, 1.0)))
+    from cfd2_tpu.mesh import generate_delaunay_mesh
+    gmesh = encode_mesh(generate_delaunay_mesh(geo, 0.05, 0.05, 1.2,
+                                               (3.0, 1.0)))
+    jax.block_until_ready(mesh.ck_mask)   # flush pending transfers
+    jax.block_until_ready(gmesh.ck_mask)
+
+    jax.clear_caches()
+    records = []
+    handler = logging.Handler()
+    handler.emit = lambda rec: records.append(rec.getMessage())
+    logger = logging.getLogger("jax._src.interpreters.pxla")
+    old_level = logger.level
+    logger.addHandler(handler)
+    logger.setLevel(logging.DEBUG)
+    jax.config.update("jax_log_compiles", True)
+    try:
+        hier = build_hierarchy_for_mesh(mesh)            # structured path
+        ghier = build_hierarchy_for_mesh(gmesh)          # generic path
+    finally:
+        jax.config.update("jax_log_compiles", False)
+        logger.setLevel(old_level)
+        logger.removeHandler(handler)
+    assert hier is not None and ghier is not None
+    compiles = [m for m in records if "Compiling" in m]
+    assert not compiles, compiles
