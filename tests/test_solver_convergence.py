@@ -222,3 +222,20 @@ def test_inlet_profile_uniform_matches_scalar():
     mid = ux[np.abs(y - 0.5) < 0.2].mean()
     edge = ux[(y < 0.15) | (y > 0.85)].mean()
     assert mid > 1.5 * max(edge, 1e-9)
+
+
+def test_krylov_recycling_same_solution():
+    """fgmres_recycle (opt-in; DESIGN 9c round-5 lever) must reach the same
+    fixed point within the outer tolerance under both modes: 1 (across
+    outer correctors) and 2 (also across steps, the basis shuttling
+    through CoupledSolver outside SolverState).  The warm start is
+    residual-guarded, so the convergence contract is untouched."""
+    geo = ChannelWithObstacle(length=3.0, height=1.0,
+                              obstacle_center=(1.0, 0.5), obstacle_radius=0.2)
+    mesh = generate_cut_cell_mesh(geo, 0.05, 0.05, 1.2, (3.0, 1.0))
+    base = _run_cfg(mesh, steps=3)
+    for mode in (1, 2):
+        outers, u, p = _run_cfg(mesh, steps=3, fgmres_recycle=mode)
+        assert np.isfinite(u).all() and np.isfinite(p).all()
+        assert np.abs(u - base[1]).max() < 2e-3, mode
+        assert outers[0] > 0
