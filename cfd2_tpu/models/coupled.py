@@ -902,7 +902,12 @@ class CoupledSolver:
             if self._krylov is None:
                 self._krylov = _basis_init(self.mesh, self.state, self.config,
                                            amg)
-            if os.environ.get("CFD2_AOT_CACHE"):
+            if self._krylov is None:
+                # Generic block path: recycling unsupported (basis shapes
+                # undefined there); step() then returns state alone.
+                self.state = step(self.mesh, self.state, self.params,
+                                  self.config, amg)
+            elif os.environ.get("CFD2_AOT_CACHE"):
                 fp = (self.config, _arg_fingerprint(
                     (self.mesh, self.state, self.params, amg, self._krylov)))
                 c = self._aot.get(fp)
